@@ -1,0 +1,296 @@
+"""Public FFT execution layer.
+
+TPU-native counterpart of the reference host dispatch ``ComputeFFT``
+(/root/reference/src/base/ComputeFFT.h:54-151 single, :162-293 batched): where
+the reference sequences kernel launches and ping-pongs device buffers through
+a DataHandler (DataHandler.h:22-166), here execution is a pure jitted function
+of the input arrays; batching is a leading axis (XLA overlaps what the
+reference used one CUDA stream per FFT for, ComputeFFT.h:166-208), and device
+memory is owned by JAX.
+
+Strategies (plan.resolve_strategy()):
+  * FUSED      — one Pallas kernel holds the whole transform in VMEM
+                 (the Mode_256/Mode_4096 fusion idea taken to its limit).
+  * FOUR_STEP  — Bailey decomposition N = N1*N2: columns pass + twiddle +
+                 rows pass, each a fused kernel; replaces the reference's
+                 log16(N) global-memory round trips with ~3.
+  * STAGED     — plain-JAX stage loop (known-good path; XLA-fused).
+  * XLA        — jnp.fft.fft, the on-device comparison baseline (the role
+                 cuFFT plays in the reference harness).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorfft_tpu import dft
+from tensorfft_tpu.plan import FFTPlan, Precision, Strategy, create_plan
+from tensorfft_tpu.ops import stages_jax
+
+__all__ = [
+    "fft", "ifft", "fft_split", "ifft_split",
+    "fft2", "ifft2", "fftn", "ifftn", "fftn_split", "ifftn_split",
+]
+
+
+def stage_scales(radices, scaling: str, forward: bool) -> Tuple[float, ...]:
+    """Per-stage progressive scale factors.
+
+    'forward' scaling is the reference convention: the forward transform is
+    scaled by 1/N, applied one 1/radix per stage (TensorRadix16.cu:132-136) so
+    the matching inverse is unscaled.  'none' is the NumPy convention.
+    """
+    if scaling == "forward":
+        return tuple(1.0 / r for r in radices) if forward else tuple(1.0 for _ in radices)
+    if scaling == "none":
+        return tuple(1.0 for _ in radices) if forward else tuple(1.0 / r for r in radices)
+    if scaling == "ortho":
+        return tuple(r ** -0.5 for r in radices)
+    raise ValueError(f"bad scaling {scaling!r}")
+
+
+def _block_engine(plan: FFTPlan):
+    """Return fn(re, im, radices, scales, sign) -> (re, im) on (N, B) planes."""
+    strategy = plan.resolve_strategy()
+    if strategy in (Strategy.FUSED, Strategy.FOUR_STEP):
+        from tensorfft_tpu.ops import fused_pallas
+
+        def engine(re, im, radices, scales, sign):
+            return fused_pallas.fused_fft(
+                re, im, radices=radices, scales=scales, sign=sign,
+                lane_tile=plan.lane_tile,
+                algorithm=plan.precision.dot_algorithm,
+            )
+
+        return engine
+
+    def engine(re, im, radices, scales, sign):
+        return stages_jax.apply_stages(
+            re, im, radices, scales, sign,
+            algorithm=plan.precision.dot_algorithm,
+        )
+
+    return engine
+
+
+def _fft_transform_major(re, im, plan: FFTPlan, forward: bool):
+    """Core: transform along axis 0 of (N, B) planes."""
+    n, b = re.shape
+    assert n == plan.fft_length
+    sign = dft.FORWARD if forward else dft.INVERSE
+    strategy = plan.resolve_strategy()
+    engine = _block_engine(plan)
+    storage = plan.precision.storage_dtype
+
+    if strategy in (Strategy.FUSED, Strategy.STAGED):
+        scales = stage_scales(plan.radices, plan.scaling, forward)
+        return engine(re, im, plan.radices, scales, sign)
+
+    if strategy is Strategy.FOUR_STEP:
+        n1, n2 = plan.four_step_split
+        # Total scale is distributed over the two passes' stages.
+        scales1 = stage_scales(plan.col_radices, plan.scaling, forward)
+        scales2 = stage_scales(plan.row_radices, plan.scaling, forward)
+        # Pass 1: x viewed (n1, n2, b); FFT over axis 0 with batch n2*b.
+        re1, im1 = engine(
+            re.reshape(n1, n2 * b), im.reshape(n1, n2 * b),
+            plan.col_radices, scales1, sign,
+        )
+        # Four-step twiddle W[k1, n2] = exp(sign*2*pi*i*k1*n2/n), reconstructed
+        # at runtime from the rank-separated P/Q tables (dft.py) so the jitted
+        # program embeds O(n1*sqrt(n2))-sized constants, not a data-sized one.
+        tile = n2 if n2 <= 256 else 128
+        p_re, p_im, q_re, q_im = dft.four_step_twiddle_factors(
+            n1, n2, tile, dtype=np.float32, sign=sign
+        )
+        p_re, p_im = jnp.asarray(p_re)[:, :, None], jnp.asarray(p_im)[:, :, None]
+        q_re, q_im = jnp.asarray(q_re)[:, None, :], jnp.asarray(q_im)[:, None, :]
+        w_re = (p_re * q_re - p_im * q_im).reshape(n1, n2)[:, :, None]
+        w_im = (p_re * q_im + p_im * q_re).reshape(n1, n2)[:, :, None]
+        re1 = re1.reshape(n1, n2, b)
+        im1 = im1.reshape(n1, n2, b)
+        re1, im1 = (re1 * w_re - im1 * w_im, re1 * w_im + im1 * w_re)
+        # Emulate HBM-boundary storage rounding between passes.
+        re1 = re1.astype(storage)
+        im1 = im1.astype(storage)
+        # Pass 2: FFT over axis 1 -> transform-major (n2, n1*b).
+        re2 = re1.transpose(1, 0, 2).reshape(n2, n1 * b)
+        im2 = im1.transpose(1, 0, 2).reshape(n2, n1 * b)
+        re2, im2 = engine(re2, im2, plan.row_radices, scales2, sign)
+        # Output index k = k2*n1 + k1: rows (k2, k1) already flatten correctly.
+        return re2.reshape(n, b), im2.reshape(n, b)
+
+    if strategy is Strategy.XLA:
+        x = re.astype(jnp.float32) + 1j * im.astype(jnp.float32)
+        x = jnp.fft.fft(x, axis=0) if forward else jnp.fft.ifft(x, axis=0)
+        scales = stage_scales(plan.radices, plan.scaling, forward)
+        total = float(np.prod(scales))
+        if not forward:
+            total *= n  # jnp.ifft already applies 1/N
+        x = x * total
+        return jnp.real(x), jnp.imag(x)
+
+    raise ValueError(f"unhandled strategy {strategy}")
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "forward"))
+def _fft_split_jit(re, im, plan: FFTPlan, forward: bool):
+    storage = plan.precision.storage_dtype
+    re = re.astype(storage)
+    im = im.astype(storage)
+    out_re, out_im = _fft_split_core(re, im, plan, forward)
+    return out_re.astype(storage), out_im.astype(storage)
+
+
+def _fft_split_core(re, im, plan, forward):
+    batch_shape = re.shape[:-1]
+    n = re.shape[-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    re2 = re.reshape(b, n).T
+    im2 = im.reshape(b, n).T
+    out_re, out_im = _fft_transform_major(re2, im2, plan, forward)
+    return (
+        out_re.T.reshape(*batch_shape, n),
+        out_im.T.reshape(*batch_shape, n),
+    )
+
+
+def _ensure_plan(n: int, plan: Optional[FFTPlan], **kwargs) -> FFTPlan:
+    if plan is None:
+        return create_plan(n, **kwargs)
+    if plan.fft_length != n:
+        raise ValueError(
+            f"plan is for fft_length {plan.fft_length}, data has {n}"
+        )
+    return plan
+
+
+def fft_split(re, im, plan: Optional[FFTPlan] = None, **plan_kwargs):
+    """Forward FFT on split-complex planar data, transform along the last axis.
+
+    This is the native API (reference parity: the reference's I/O contract is
+    split planar __half arrays, ComputeFFT.h:1-16).  Leading axes are batch.
+    With the default plan the output is scaled by 1/N (reference convention).
+    """
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if re.shape != im.shape:
+        raise ValueError(f"re/im shape mismatch: {re.shape} vs {im.shape}")
+    plan = _ensure_plan(re.shape[-1], plan, **plan_kwargs)
+    return _fft_split_jit(re, im, plan, True)
+
+
+def ifft_split(re, im, plan: Optional[FFTPlan] = None, **plan_kwargs):
+    """Inverse FFT on split planar data; exact inverse of :func:`fft_split`
+    under the plan's scaling convention."""
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if re.shape != im.shape:
+        raise ValueError(f"re/im shape mismatch: {re.shape} vs {im.shape}")
+    plan = _ensure_plan(re.shape[-1], plan, **plan_kwargs)
+    return _fft_split_jit(re, im, plan, False)
+
+
+def _to_split(x):
+    """Split a complex (or real) array into planar (re, im) on the host.
+
+    Complex dtypes are split in NumPy: TPU backends may lack complex support
+    entirely (the device-native representation is split planar, exactly like
+    the reference's __half RE/IM arrays, ComputeFFT.h:1-16).
+    """
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return jnp.asarray(x.real.copy()), jnp.asarray(x.imag.copy())
+    x = jnp.asarray(x)
+    return x, jnp.zeros_like(x)
+
+
+def _to_complex(re, im):
+    return np.asarray(re, np.float32) + 1j * np.asarray(im, np.float32)
+
+
+def fft(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
+    """Forward FFT of a complex (or real) array along the last axis.
+
+    Host-boundary convenience wrapper over :func:`fft_split`: splits/joins
+    complex data in NumPy (returns a NumPy complex64 array) because complex
+    dtypes don't exist on the TPU compute path.  Use :func:`fft_split` to stay
+    on device.
+    """
+    re, im = _to_split(x)
+    o_re, o_im = fft_split(re, im, plan, **plan_kwargs)
+    return _to_complex(o_re, o_im)
+
+
+def ifft(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
+    re, im = _to_split(x)
+    o_re, o_im = ifft_split(re, im, plan, **plan_kwargs)
+    return _to_complex(o_re, o_im)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional transforms (row-column decomposition over the 1D engine).
+# Beyond the reference's capability set (it is 1D-only); part of this repo's
+# config-3/config-5 extensions.
+# ---------------------------------------------------------------------------
+
+def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
+    for ax in axes:
+        re_m = jnp.moveaxis(re, ax, -1)
+        im_m = jnp.moveaxis(im, ax, -1)
+        n = re_m.shape[-1]
+        plan = plans.get(n) if isinstance(plans, dict) else None
+        plan = _ensure_plan(n, plan, **plan_kwargs)
+        fn = fft_split if forward else ifft_split
+        re_m, im_m = fn(re_m, im_m, plan)
+        re = jnp.moveaxis(re_m, -1, ax)
+        im = jnp.moveaxis(im_m, -1, ax)
+    return re, im
+
+
+def fftn_split(re, im, axes=None, plans=None, **plan_kwargs):
+    """N-dimensional FFT on split planar data (device-native path)."""
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if axes is None:
+        axes = tuple(range(re.ndim))
+    return _fftn_split(re, im, axes, plans or {}, True, plan_kwargs)
+
+
+def ifftn_split(re, im, axes=None, plans=None, **plan_kwargs):
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if axes is None:
+        axes = tuple(range(re.ndim))
+    return _fftn_split(re, im, axes, plans or {}, False, plan_kwargs)
+
+
+def fftn(x, axes=None, plans=None, **plan_kwargs):
+    """N-dimensional FFT by row-column decomposition (forward scaling 1/N per
+    axis by default, i.e. total 1/prod(shape)).  Host-boundary convenience
+    wrapper; returns NumPy complex64."""
+    re, im = _to_split(x)
+    if axes is None:
+        axes = tuple(range(re.ndim))
+    re, im = _fftn_split(re, im, axes, plans or {}, True, plan_kwargs)
+    return _to_complex(re, im)
+
+
+def ifftn(x, axes=None, plans=None, **plan_kwargs):
+    re, im = _to_split(x)
+    if axes is None:
+        axes = tuple(range(re.ndim))
+    re, im = _fftn_split(re, im, axes, plans or {}, False, plan_kwargs)
+    return _to_complex(re, im)
+
+
+def fft2(x, axes=(-2, -1), plans=None, **plan_kwargs):
+    return fftn(x, axes=axes, plans=plans, **plan_kwargs)
+
+
+def ifft2(x, axes=(-2, -1), plans=None, **plan_kwargs):
+    return ifftn(x, axes=axes, plans=plans, **plan_kwargs)

@@ -1,0 +1,351 @@
+"""FFT planning layer.
+
+TPU-native re-design of the reference planner (``/root/reference/src/base/Plan.h``):
+the reference ``Plan`` (Plan.h:18-39) validates the transform length, derives the
+radix-16 / radix-2 stage factorization (Plan.h:99-100) and computes CUDA launch
+geometry (warps per block, grid sizes, shared memory bytes, Plan.h:117-191).
+
+On TPU there is no launch geometry: a plan is a pure function of
+``(fft_length, precision policy, tuning table)`` producing
+
+  * the radix factorization (combine order) used by every execution path,
+  * an execution strategy (single fused Pallas kernel vs. Bailey four-step
+    composition of fused kernels vs. plain-XLA reference path),
+  * tile sizes that play the role of the reference's warp counts, and
+
+and is passed as a *static* argument to ``jax.jit``.  The reference's
+file-driven plan overload (Plan.h:197-255) maps to ``tuning`` lookups from the
+JSON autotuner cache (see ``tensorfft_tpu.tuning``), and
+``PlanWorksOnDevice`` (Plan.h:257-296) maps to :func:`plan_works_on_device`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional, Sequence, Tuple
+
+__all__ = [
+    "Precision",
+    "Strategy",
+    "FFTPlan",
+    "create_plan",
+    "plan_works_on_device",
+    "is_power_of_2",
+    "exact_log2",
+    "balanced_radices",
+    "default_four_step_split",
+]
+
+# Radices the stage engine supports.  Any 2^k with k in [1, 8]; the MXU cost of a
+# stage is flat for radix <= 128 (the contraction dim is padded to the 128-wide
+# systolic array), so fewer/larger stages are always at least as fast.
+_MIN_RADIX_LOG2 = 1
+_MAX_RADIX_LOG2 = 8
+
+# Largest transform that the single fused-VMEM kernel handles per block.  A block
+# holds (N, lane_tile) fp32 RE+IM ping-pong buffers: N=8192 * 128 lanes * 4B * 2
+# planes * 2 buffers = 16 MiB hits the VMEM ceiling, so 4096 is the safe default
+# (the tuner may raise it per-device).
+DEFAULT_MAX_FUSED_LENGTH = 4096
+
+# Reference supports N >= 256 (Plan.h:85-96).  We accept any power of two >= 2
+# (a strict superset); conformance tests sweep the reference range.
+REFERENCE_MIN_LENGTH = 256
+
+
+class Precision(str, enum.Enum):
+    """Numeric policy, replacing the reference's fp16-everywhere choice.
+
+    The reference stores data AND accumulates matmuls in fp16 via WMMA
+    (TensorRadix16.cu:166-176).  TPU MXUs take bf16 operands and accumulate in
+    fp32 for free, so every policy here accumulates in fp32; a policy picks
+
+      * the HBM storage dtype between kernel-level passes, and
+      * the matmul operand decomposition ("dot algorithm"): how many bf16
+        split terms represent each fp32 operand on the MXU.  'bf16x3' is the
+        split-precision compensation technique from the project north star
+        (x = hi + lo in bf16; three partial products recover ~fp32 mantissa),
+        implemented explicitly so CPU tests reproduce TPU numerics exactly.
+    """
+
+    BFLOAT16 = "bfloat16"      # bf16 storage, 1 MXU pass  (reference parity)
+    FLOAT32 = "float32"        # f32 storage, bf16x3 compensated matmuls
+    FLOAT32_X6 = "float32_x6"  # f32 storage, bf16x6 (near-exact f32) matmuls
+    FLOAT64 = "float64"        # exact; reference/oracle path only (CPU)
+
+    @property
+    def storage_dtype(self):
+        import jax.numpy as jnp
+
+        return {
+            Precision.BFLOAT16: jnp.bfloat16,
+            Precision.FLOAT32: jnp.float32,
+            Precision.FLOAT32_X6: jnp.float32,
+            Precision.FLOAT64: jnp.float64,
+        }[self]
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.float64 if self is Precision.FLOAT64 else jnp.float32
+
+    @property
+    def dot_algorithm(self) -> str:
+        """Operand decomposition for MXU matmuls (see ops/stages_jax.py)."""
+        return {
+            Precision.BFLOAT16: "bf16",
+            Precision.FLOAT32: "bf16x3",
+            Precision.FLOAT32_X6: "bf16x6",
+            Precision.FLOAT64: "exact",
+        }[self]
+
+
+class Strategy(str, enum.Enum):
+    """Execution strategy (the analog of the reference's Mode_256/Mode_4096,
+    Plan.h:14, which selects how many stages the base kernel fuses)."""
+
+    AUTO = "auto"
+    FUSED = "fused"            # one Pallas kernel, whole transform in VMEM
+    FOUR_STEP = "four_step"    # Bailey decomposition into two fused passes
+    STAGED = "staged"          # plain-JAX stage loop (XLA fuses what it can)
+    XLA = "xla"                # jnp.fft.fft comparison path
+
+
+def is_power_of_2(x: int) -> bool:
+    """Mirror of the reference IsPowerOf2 (Plan.h:41-47)."""
+    return x > 0 and (x & (x - 1)) == 0
+
+
+def exact_log2(x: int) -> int:
+    """Mirror of the reference ExactLog2 (Plan.h:50-67); requires power of 2."""
+    if not is_power_of_2(x):
+        raise ValueError(f"{x} is not a power of 2")
+    return x.bit_length() - 1
+
+
+def balanced_radices(n: int) -> Tuple[int, ...]:
+    """Factor n = 2^p into ceil(p/7) nearly-equal power-of-two radices <= 256.
+
+    The reference factors N into one base-16 DFT + radix-16 steps + radix-2
+    leftovers (Plan.h:99-100) because its tensor-core tile is 16x16.  The MXU
+    contraction dim is 128 wide, and per-stage cost is flat for radix <= 128,
+    so the TPU-optimal factorization simply minimizes the number of stages and
+    balances them (balanced radices keep twiddle tables and matmul M-dims
+    moderate).
+    """
+    p = exact_log2(n)
+    if p == 0:
+        return ()
+    max_log = 7  # radix 128 fills the MXU contraction dim exactly
+    stages = max(1, math.ceil(p / max_log))
+    base, rem = divmod(p, stages)
+    logs = [base + 1] * rem + [base] * (stages - rem)
+    # First stage has no twiddle; order ascending so the cheap/no-twiddle stage
+    # takes the smallest radix and later (twiddled) stages get full MXU use.
+    logs.sort()
+    return tuple(1 << l for l in logs)
+
+
+def default_four_step_split(n: int, max_fused: int) -> Tuple[int, int]:
+    """Split n = n1 * n2 with both factors <= max_fused, as balanced as possible.
+
+    n1 is the column (first-pass) length, n2 the row (second-pass) length.
+    Balanced splits minimize the larger fused working set.
+    """
+    p = exact_log2(n)
+    pf = exact_log2(max_fused)
+    if p > 2 * pf:
+        raise ValueError(
+            f"fft_length {n} too large for a two-pass four-step with "
+            f"max_fused_length {max_fused}"
+        )
+    p1 = p // 2
+    p2 = p - p1
+    assert p2 <= pf
+    return (1 << p1, 1 << p2)
+
+
+@dataclasses.dataclass(frozen=True)
+class FFTPlan:
+    """Immutable description of how to execute one FFT configuration.
+
+    Hashable so it can be a static argument to ``jax.jit``.  Counterpart of the
+    reference ``struct Plan`` (Plan.h:18-39) minus device launch geometry.
+    """
+
+    fft_length: int
+    radices: Tuple[int, ...]
+    precision: Precision = Precision.BFLOAT16
+    strategy: Strategy = Strategy.AUTO
+    # Four-step decomposition (None when the fused kernel covers fft_length).
+    four_step_split: Optional[Tuple[int, int]] = None
+    # Radices of the two four-step passes (column pass over n1, row pass n2).
+    col_radices: Optional[Tuple[int, ...]] = None
+    row_radices: Optional[Tuple[int, ...]] = None
+    # Lane tile: how many transforms ride the 128-wide lane dimension per
+    # kernel block (the analog of the reference's warps-per-block tuning knob,
+    # Plan.h:117-149).
+    lane_tile: int = 128
+    # Forward transform scale: 'forward' = 1/N progressively applied per stage
+    # (the reference convention, TensorRadix16.cu:132-136), 'none', 'ortho'.
+    scaling: str = "forward"
+    max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH
+
+    def __post_init__(self):
+        if not is_power_of_2(self.fft_length):
+            raise ValueError(
+                f"fft_length must be a power of 2, got {self.fft_length}"
+            )
+        if math.prod(self.radices) != self.fft_length:
+            raise ValueError(
+                f"radices {self.radices} do not multiply to {self.fft_length}"
+            )
+        for r in self.radices:
+            if not is_power_of_2(r):
+                raise ValueError(f"radix {r} is not a power of 2")
+        if self.scaling not in ("forward", "none", "ortho"):
+            raise ValueError(f"bad scaling {self.scaling!r}")
+        if self.four_step_split is not None:
+            n1, n2 = self.four_step_split
+            if n1 * n2 != self.fft_length:
+                raise ValueError("four_step_split does not factor fft_length")
+
+    # -- reference-parity accessors -------------------------------------------------
+    @property
+    def log2_length(self) -> int:
+        return exact_log2(self.fft_length)
+
+    @property
+    def amount_of_stages(self) -> int:
+        """Stage count (reference: amount_of_r16_steps_ + amount_of_r2_steps_ + 1)."""
+        return len(self.radices)
+
+    @property
+    def stage_scale(self) -> Tuple[float, ...]:
+        """Per-stage progressive scale factors (product = total scale).
+
+        Reference parity: each stage divides by its radix so intermediates stay
+        bounded (TensorFFT256.cu:167-171, Radix2.cu:67-76).
+        """
+        if self.scaling == "forward":
+            return tuple(1.0 / r for r in self.radices)
+        if self.scaling == "ortho":
+            return tuple(r ** -0.5 for r in self.radices)
+        return tuple(1.0 for _ in self.radices)
+
+    def resolve_strategy(self) -> Strategy:
+        if self.strategy is not Strategy.AUTO:
+            return self.strategy
+        if self.fft_length <= self.max_fused_length:
+            return Strategy.FUSED
+        return Strategy.FOUR_STEP
+
+
+def create_plan(
+    fft_length: int,
+    precision: str | Precision = Precision.BFLOAT16,
+    strategy: str | Strategy = Strategy.AUTO,
+    radices: Optional[Sequence[int]] = None,
+    lane_tile: Optional[int] = None,
+    scaling: str = "forward",
+    max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH,
+    tuning: Optional[dict] = None,
+) -> FFTPlan:
+    """Create an :class:`FFTPlan`.
+
+    Counterpart of the reference ``CreatePlan(fft_length, mode, ...)``
+    (Plan.h:77-194).  The reference rejects lengths below 256 (Plan.h:85-96);
+    we accept any power of two >= 2, a strict superset of the contract.
+
+    ``tuning`` is a dict as produced by :mod:`tensorfft_tpu.tuning` (the analog
+    of the reference's TunerResults.dat-driven overload, Plan.h:197-255); any
+    key present overrides the computed default.
+    """
+    if not is_power_of_2(fft_length) or fft_length < 2:
+        raise ValueError(
+            f"fft_length must be a power of 2 (>= 2), got {fft_length}"
+        )
+    precision = Precision(precision)
+    strategy = Strategy(strategy)
+
+    tuning = dict(tuning or {})
+    if "radices" in tuning and radices is None:
+        radices = tuple(tuning["radices"])
+    if "lane_tile" in tuning and lane_tile is None:
+        lane_tile = int(tuning["lane_tile"])
+    if "strategy" in tuning and strategy is Strategy.AUTO:
+        strategy = Strategy(tuning["strategy"])
+    if "max_fused_length" in tuning:
+        max_fused_length = int(tuning["max_fused_length"])
+
+    four_step_split = None
+    col_radices = None
+    row_radices = None
+    resolved = strategy
+    if resolved is Strategy.AUTO:
+        resolved = (
+            Strategy.FUSED
+            if fft_length <= max_fused_length
+            else Strategy.FOUR_STEP
+        )
+    if resolved is Strategy.FOUR_STEP:
+        split = tuning.get("four_step_split")
+        if split is None:
+            split = default_four_step_split(fft_length, max_fused_length)
+        four_step_split = (int(split[0]), int(split[1]))
+        col_radices = balanced_radices(four_step_split[0])
+        row_radices = balanced_radices(four_step_split[1])
+
+    if radices is None:
+        radices = balanced_radices(fft_length)
+    if lane_tile is None:
+        lane_tile = 128
+
+    return FFTPlan(
+        fft_length=int(fft_length),
+        radices=tuple(int(r) for r in radices),
+        precision=precision,
+        strategy=strategy,
+        four_step_split=four_step_split,
+        col_radices=col_radices,
+        row_radices=row_radices,
+        lane_tile=int(lane_tile),
+        scaling=scaling,
+        max_fused_length=int(max_fused_length),
+    )
+
+
+def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
+    """Check that ``plan`` can run on ``device``.
+
+    Counterpart of the reference ``PlanWorksOnDevice`` (Plan.h:257-296), which
+    checks compute capability >= 8.0, warp size, and opt-in shared memory.  On
+    TPU the analogous constraints are: a matrix unit exists (TPU platform; the
+    CPU interpreter path always works), and the fused working set fits VMEM.
+    Returns (ok, reason).
+    """
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+    platform = getattr(device, "platform", "cpu")
+
+    # Fused working set: (n, lane_tile) fp32 RE+IM, double-buffered.
+    n_fused = plan.fft_length
+    if plan.four_step_split is not None:
+        n_fused = max(plan.four_step_split)
+    n_fused = min(n_fused, plan.max_fused_length)
+    working_set = n_fused * plan.lane_tile * 4 * 2 * 2
+    vmem_budget = 128 * 1024 * 1024 if platform == "cpu" else 14 * 1024 * 1024
+    if working_set > vmem_budget:
+        return (
+            False,
+            f"fused working set {working_set} B exceeds VMEM budget "
+            f"{vmem_budget} B on {platform}; lower lane_tile or "
+            f"max_fused_length",
+        )
+    if plan.precision is Precision.FLOAT64 and platform == "tpu":
+        return (False, "float64 plans are CPU/oracle-only")
+    return (True, "ok")

@@ -1,0 +1,105 @@
+import math
+
+import pytest
+
+from tensorfft_tpu.plan import (
+    FFTPlan,
+    Precision,
+    Strategy,
+    balanced_radices,
+    create_plan,
+    default_four_step_split,
+    exact_log2,
+    is_power_of_2,
+    plan_works_on_device,
+)
+
+
+def test_is_power_of_2():
+    assert is_power_of_2(1)
+    assert is_power_of_2(256)
+    assert not is_power_of_2(0)
+    assert not is_power_of_2(255)
+    assert not is_power_of_2(-4)
+
+
+def test_exact_log2():
+    assert exact_log2(4096) == 12
+    with pytest.raises(ValueError):
+        exact_log2(12)
+
+
+@pytest.mark.parametrize("p", range(1, 28))
+def test_balanced_radices_cover_all_powers(p):
+    n = 1 << p
+    radices = balanced_radices(n)
+    assert math.prod(radices) == n
+    assert all(2 <= r <= 256 for r in radices)
+    # Stage count is minimal for radix<=128 flat MXU cost.
+    assert len(radices) == max(1, math.ceil(p / 7))
+
+
+def test_create_plan_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        create_plan(1000)
+    with pytest.raises(ValueError):
+        create_plan(0)
+
+
+def test_create_plan_small_is_fused():
+    plan = create_plan(4096)
+    assert plan.resolve_strategy() == Strategy.FUSED
+    assert plan.four_step_split is None
+
+
+def test_create_plan_large_is_four_step():
+    plan = create_plan(1 << 20)
+    assert plan.resolve_strategy() == Strategy.FOUR_STEP
+    n1, n2 = plan.four_step_split
+    assert n1 * n2 == 1 << 20
+    assert max(n1, n2) <= plan.max_fused_length
+    assert math.prod(plan.col_radices) == n1
+    assert math.prod(plan.row_radices) == n2
+
+
+def test_plan_is_hashable_static_arg():
+    a = create_plan(4096)
+    b = create_plan(4096)
+    assert a == b
+    assert hash(a) == hash(b)
+    assert a != create_plan(8192)
+
+
+def test_stage_scale_progressive():
+    plan = create_plan(4096, radices=(16, 16, 16))
+    assert plan.stage_scale == (1 / 16, 1 / 16, 1 / 16)
+    assert abs(math.prod(plan.stage_scale) - 1 / 4096) < 1e-12
+
+
+def test_four_step_split_balanced():
+    n1, n2 = default_four_step_split(1 << 20, 4096)
+    assert n1 * n2 == 1 << 20
+    assert n1 <= n2 <= 4096
+
+
+def test_plan_works_on_device_cpu():
+    ok, reason = plan_works_on_device(create_plan(4096))
+    assert ok, reason
+
+
+def test_plan_validation():
+    with pytest.raises(ValueError):
+        FFTPlan(fft_length=4096, radices=(16, 16))  # product mismatch
+    with pytest.raises(ValueError):
+        FFTPlan(fft_length=4096, radices=(16, 16, 16), scaling="bogus")
+
+
+def test_tuning_overrides():
+    plan = create_plan(
+        1 << 16,
+        tuning={"radices": (16, 16, 16, 16), "lane_tile": 256,
+                "strategy": "staged"},
+    )
+    assert plan.radices == (16, 16, 16, 16)
+    assert plan.lane_tile == 256
+    assert plan.resolve_strategy() == Strategy.STAGED
