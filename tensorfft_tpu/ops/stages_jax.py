@@ -64,7 +64,7 @@ def stage_tables(
 
 def complex_matmul(
     d_re, d_im, d_sum, z_re, z_im, *, algorithm: str = "bf16",
-    karatsuba: bool = True,
+    karatsuba: bool = False,
 ):
     """(d_re + i*d_im) @ (z_re + i*z_im) with fp32 MXU accumulation.
 
@@ -90,7 +90,7 @@ def apply_stages(
     sign: int = dft.FORWARD,
     *,
     algorithm: str = "bf16",
-    karatsuba: bool = True,
+    karatsuba: bool = False,
     tables=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the full stage sequence on transform-major (N, B) planes.

@@ -301,6 +301,7 @@ def create_plan(
     if radices is None:
         radices = balanced_radices(fft_length)
     if lane_tile is None:
+        # Pallas TPU requires the last block dim to be a multiple of 128.
         lane_tile = 128
 
     return FFTPlan(

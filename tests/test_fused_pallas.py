@@ -1,0 +1,86 @@
+"""Fused Pallas kernel (interpret mode on CPU) vs the fp64 oracle and the
+staged engine.  On TPU the same kernel compiles through Mosaic; interpret mode
+checks the kernel logic (block indexing, stage math, padding) exactly."""
+import numpy as np
+import pytest
+
+import tensorfft_tpu as tfft
+from tensorfft_tpu.fft import stage_scales
+from tensorfft_tpu.ops import fused_pallas
+from tensorfft_tpu.testing import deviation, fft_oracle, make_test_signal
+
+
+def run_fused(n, b, radices=None, algorithm="bf16", lane_tile=128, seed=0):
+    import jax.numpy as jnp
+
+    plan = tfft.create_plan(n, radices=radices)
+    rng = np.random.default_rng(seed)
+    re = rng.standard_normal((n, b)).astype(np.float32)
+    im = rng.standard_normal((n, b)).astype(np.float32)
+    scales = stage_scales(plan.radices, "forward", True)
+    o_re, o_im = fused_pallas.fused_fft(
+        jnp.asarray(re), jnp.asarray(im),
+        radices=plan.radices, scales=scales, sign=-1,
+        lane_tile=lane_tile, algorithm=algorithm, interpret=True,
+    )
+    x = re.astype(np.float64) + 1j * im.astype(np.float64)
+    want = np.fft.fft(x, axis=0) / n
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    return np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_fused_matches_oracle(n):
+    # bf16 matmul operands: ~1e-3 max err on dense random input
+    assert run_fused(n, 128) < 5e-3
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_fused_x3_compensation(n):
+    assert run_fused(n, 128, algorithm="bf16x3") < 1e-5
+
+
+def test_fused_batch_padding():
+    # batch not divisible by lane_tile exercises the pad/slice path
+    for b in (1, 7, 130):
+        assert run_fused(512, b) < 5e-3, b
+
+
+@pytest.mark.parametrize("radices", [(16, 16), (2, 128), (4, 4, 16)])
+def test_fused_radix_mixes(radices):
+    assert run_fused(256, 64, radices=radices) < 5e-3
+
+
+def test_fused_bf16_storage():
+    import jax.numpy as jnp
+
+    n, b = 1024, 64
+    plan = tfft.create_plan(n)
+    rng = np.random.default_rng(1)
+    re = rng.standard_normal((n, b)).astype(np.float32)
+    im = rng.standard_normal((n, b)).astype(np.float32)
+    scales = stage_scales(plan.radices, "forward", True)
+    o_re, o_im = fused_pallas.fused_fft(
+        jnp.asarray(re, jnp.bfloat16), jnp.asarray(im, jnp.bfloat16),
+        radices=plan.radices, scales=scales, sign=-1, interpret=True,
+    )
+    assert o_re.dtype == jnp.bfloat16
+    x = re.astype(np.float64) + 1j * im.astype(np.float64)
+    want = np.fft.fft(x, axis=0) / n
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    # bf16 input quantization dominates
+    assert np.abs(got - want).max() < 2e-2
+
+
+def test_full_api_fused_and_four_step():
+    # End-to-end through fft_split with AUTO strategy on CPU interpret.
+    for n in (4096, 16384):
+        re, im = make_test_signal(n, 3, 4)
+        plan = tfft.create_plan(n, precision="float32")
+        got = tfft.fft_split(re, im, plan)
+        d = deviation(
+            (np.asarray(got[0], np.float64), np.asarray(got[1], np.float64)),
+            fft_oracle(re, im),
+        )
+        assert d.average < 1e-5, f"N={n}: {d}"
+        assert plan.resolve_strategy().value == ("fused" if n <= 4096 else "four_step")
