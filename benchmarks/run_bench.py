@@ -1,0 +1,68 @@
+"""Throughput sweep over fft_length (FFTBenchSinlge.cu:10-44 analog [sic]).
+
+Benchmarks the library across N (default 4096..2^22 like the reference's
+bench range), optionally consuming a tuner cache, writing BenchResults.dat.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", type=int, default=4096)
+    ap.add_argument("--end", type=int, default=1 << 22)
+    ap.add_argument("--batch-elems", type=int, default=1 << 24,
+                    help="total elements per measurement (batch = elems/N)")
+    ap.add_argument("--precision", default="bfloat16")
+    ap.add_argument("--use-cache", action="store_true")
+    ap.add_argument("--out", default="BenchResults.dat")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import tensorfft_tpu as tfft
+    from tensorfft_tpu.fft import _fft_split_jit
+    from tensorfft_tpu.testing.io import write_bench_table
+    from tensorfft_tpu.testing.timer import chain_measure
+    from tensorfft_tpu.tuning import TunerCache
+
+    cache = TunerCache() if args.use_cache else None
+    platform = jax.devices()[0].platform
+    storage = tfft.Precision(args.precision).storage_dtype
+
+    rows = []
+    n = args.start
+    while n <= args.end:
+        batch = max(1, args.batch_elems // n)
+        tuning = cache.get(n, args.precision, platform) if cache else None
+        plan = tfft.create_plan(n, precision=args.precision, tuning=tuning)
+        rng = np.random.default_rng(0)
+        re = jnp.asarray(rng.standard_normal((batch, n)), storage)
+        im = jnp.asarray(rng.standard_normal((batch, n)), storage)
+        fn = lambda a, b: _fft_split_jit(a, b, plan, True)
+        r = chain_measure(fn, (re, im))
+        flops = 5.0 * n * float(np.log2(n)) * batch
+        gflops = flops / r.average_time_ns
+        rows.append({
+            "fft_length": n, "batch": batch,
+            "avg_time_us": r.average_time_ns / 1e3,
+            "sigma_us": r.std_deviation_ns / 1e3,
+            "gflops": gflops,
+            "strategy": plan.resolve_strategy().value,
+            "tuned": tuning is not None,
+        })
+        print(f"N={n:>9d} B={batch:>6d}: {r.average_time_ns/1e3:9.1f} us  "
+              f"{gflops:8.1f} GFLOP/s  [{plan.resolve_strategy().value}]")
+        n *= 2
+    write_bench_table(args.out, rows)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

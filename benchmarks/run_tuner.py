@@ -1,0 +1,37 @@
+"""Autotuner sweep (TunerSingleFFT.cu:10-56 analog).
+
+Tunes every power-of-two length in the range, persisting winners to the JSON
+tuner cache (the TunerResults.dat analog) consumed by create_plan via
+TunerCache.get / run_bench.py --use-cache.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", type=int, default=256)
+    ap.add_argument("--end", type=int, default=1 << 22)
+    ap.add_argument("--batch-elems", type=int, default=1 << 22)
+    ap.add_argument("--precision", default="bfloat16")
+    ap.add_argument("--cache", default=None)
+    args = ap.parse_args()
+
+    from tensorfft_tpu.tuning import TunerCache, tune
+
+    cache = TunerCache(args.cache) if args.cache else TunerCache()
+    n = args.start
+    while n <= args.end:
+        batch = max(1, args.batch_elems // n)
+        entry = tune(n, batch=batch, precision=args.precision, cache=cache)
+        print(f"N={n:>9d}: best {entry}")
+        cache.save()
+        n *= 2
+    print(f"cache: {cache.path} ({len(cache)} entries)")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ from tensorfft_tpu.fft import (
     fftn_split,
     ifftn_split,
 )
+from tensorfft_tpu.rfft import rfft, irfft, rfft_split, irfft_split
 
 __version__ = "0.1.0"
 
@@ -55,5 +56,9 @@ __all__ = [
     "ifftn",
     "fftn_split",
     "ifftn_split",
+    "rfft",
+    "irfft",
+    "rfft_split",
+    "irfft_split",
     "__version__",
 ]

@@ -12,15 +12,21 @@ orders of magnitude larger, so fusion covers the whole transform for
 N <= max_fused_length and the Bailey four-step composes two such passes for
 anything bigger.
 
-Grid: one program per lane tile of the batch.  Each program:
-  load (N, T) RE/IM panels -> fp32 -> stage loop (sublane shuffle + twiddle
-  VPU multiply + complex MXU matmul, see ops/stages_jax.py for the math) ->
-  store (N, T).
+Key MXU trick — block-complex matmul: where the reference issues 4 fp16 WMMA
+mma_syncs per complex tile (TensorRadix16.cu:166-176), each stage here is ONE
+real matmul with the 2R x 2R block matrix
 
-DFT matrices and twiddle tables are precomputed fp32 kernel inputs pinned to
-block (0, 0) (resident in VMEM across grid steps) — replacing the reference's
-per-element cosf/sinf transcendentals in the hot loop
-(TensorRadix16.cu:104-145).
+    BD = [[D_re, -D_im],
+          [D_im,  D_re]]      applied to stacked Z = [Z_re; Z_im].
+
+At radix 64 the block matrix is exactly the 128x128 MXU tile, so M and K are
+both fully utilized — 4x fewer padded MACs than issuing four R x R matmuls
+(see plan.optimal_radices for the resulting radix cost model).
+
+Grid: one program per lane tile of the batch.  DFT block matrices and twiddle
+tables are precomputed kernel inputs pinned to block (0, 0) (resident in VMEM
+across grid steps) — replacing the reference's per-element cosf/sinf
+transcendentals in the hot loop (TensorRadix16.cu:104-145).
 """
 from __future__ import annotations
 
@@ -36,59 +42,117 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tensorfft_tpu import dft
 from tensorfft_tpu.ops import dots
-from tensorfft_tpu.ops.stages_jax import stage_tables
 
-__all__ = ["fused_fft", "fused_fft_kernel_body"]
+__all__ = ["fused_fft", "fused_fft_kernel_body", "block_dft_tables"]
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def block_dft_tables(
+    radices: Sequence[int],
+    scales: Sequence[float],
+    sign: int,
+    d_dtype=np.float32,
+):
+    """Per-stage (BD, W_re, W_im) numpy tables (W is None at stage 0).
+
+    BD is the 2R x 2R block-complex DFT matrix with the stage's progressive
+    scale folded in; W is the (R, prior_length) twiddle table in fp32.
+    """
+    tables = []
+    k = 1
+    for j, (r, s) in enumerate(zip(radices, scales)):
+        d_re, d_im = dft.dft_matrix(r, dtype=np.float64, sign=sign, scale=s)
+        bd = np.block([[d_re, -d_im], [d_im, d_re]]).astype(d_dtype)
+        if j == 0:
+            w_re = w_im = None
+        else:
+            w_re, w_im = dft.stage_twiddle(r, k, dtype=np.float32, sign=sign)
+        tables.append((bd, w_re, w_im))
+        k *= r
+    return tables
+
+
+# Stages whose accumulated sub-transform count K exceeds this fall back from
+# the per-K-slice loop to one big matmul behind a sublane transpose (the loop
+# unrolls K matmuls at trace time; past ~128 the code size outweighs the win).
+_MAX_KLOOP = 128
+
+
 def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str):
-    """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im)."""
+    """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
+
+    State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
+    fp32 on the VPU; stage matmuls under ``algorithm`` (ops/dots.py) with fp32
+    accumulation.
+
+    Stage structure per radix R (K = transforms built so far):
+      * K == 1 (first stage): Z = [re; im] read straight from the inputs —
+        a pure reshape, no twiddle, one block matmul.
+      * K <= _MAX_KLOOP: loop over the K sub-transform slices.  Each slice
+        (2, R, M*T) has its (2, R) rows ADJACENT, so the block matmul needs
+        no data movement; the twiddle column W[:, k] is applied per slice.
+        This replaces the Stockham sublane transpose, which Mosaic lowers
+        ~40% slower than K small matmuls (measured 745us vs 510us at
+        N=4096, B=4096).
+      * otherwise: twiddle on the unswapped view, one sublane swap, one
+        matmul (the transpose-based formulation).
+    """
     re_ref, im_ref = refs[0], refs[1]
     out_re_ref, out_im_ref = refs[-2], refs[-1]
     table_refs = refs[2:-2]
 
     n, t = re_ref.shape
-    re = re_ref[:].astype(jnp.float32)
-    im = im_ref[:].astype(jnp.float32)
+    state = None  # lazily formed; stage 0 reads straight from the input refs
 
     ti = 0
     k = 1
     m = n
     for j, radix in enumerate(radices):
         m //= radix
-        d_re = table_refs[ti][:]
-        d_im = table_refs[ti + 1][:]
-        ti += 2
-        z_re = re.reshape(k, radix, m * t).swapaxes(0, 1)
-        z_im = im.reshape(k, radix, m * t).swapaxes(0, 1)
-        if j > 0:
-            w_re = table_refs[ti][:][:, :, None]
-            w_im = table_refs[ti + 1][:][:, :, None]
-            ti += 2
-            z_re, z_im = (
-                z_re * w_re - z_im * w_im,
-                z_re * w_im + z_im * w_re,
+        bd = table_refs[ti][:]
+        ti += 1
+        if j == 0:
+            z2 = jnp.concatenate(
+                [re_ref[:].reshape(radix, m * t), im_ref[:].reshape(radix, m * t)],
+                axis=0,
             )
-        z_re = z_re.reshape(radix, k * m * t)
-        z_im = z_im.reshape(radix, k * m * t)
-        # 4-multiply complex matmul.  Karatsuba (3 matmuls) is a LOSS here:
-        # its two extra full-panel VPU adds cost more than the saved matmul,
-        # whose contraction dim (<=128) leaves the MXU underutilized anyway
-        # (measured: 360us 4-mult vs 885us Karatsuba at N=4096, B=4096).
-        re, im = (
-            dots.dot(d_re, z_re, algorithm) - dots.dot(d_im, z_im, algorithm),
-            dots.dot(d_re, z_im, algorithm) + dots.dot(d_im, z_re, algorithm),
-        )
+            out = dots.dot(bd, z2, algorithm)
+            state = out.reshape(2, radix, m * t)
+        elif k <= _MAX_KLOOP:
+            w_re = table_refs[ti][:]
+            w_im = table_refs[ti + 1][:]
+            ti += 2
+            zv = state.reshape(2, k, radix, m * t)
+            outs = []
+            for kk in range(k):
+                sr = zv[0, kk]
+                si = zv[1, kk]
+                wr = w_re[:, kk][:, None]
+                wi = w_im[:, kk][:, None]
+                zk = jnp.concatenate([sr * wr - si * wi, sr * wi + si * wr], axis=0)
+                outs.append(
+                    dots.dot(bd, zk, algorithm).reshape(2, radix, m * t)
+                )
+            out = jnp.stack(outs, axis=2)  # (2, R, K, M*T)
+            state = out.reshape(2, radix * k, m * t)
+        else:
+            w_re = table_refs[ti][:].T[None, :, :, None]  # (1, K, R, 1)
+            w_im = table_refs[ti + 1][:].T[None, :, :, None]
+            ti += 2
+            zv = state.reshape(2, k, radix, m * t)
+            zr, zi = zv[0], zv[1]
+            tw = jnp.stack([zr * w_re[0] - zi * w_im[0],
+                            zr * w_im[0] + zi * w_re[0]])
+            z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
+            out = dots.dot(bd, z2, algorithm)
+            state = out.reshape(2, radix * k, m * t)
         k *= radix
-        re = re.reshape(k, m * t)
-        im = im.reshape(k, m * t)
 
-    out_re_ref[:] = re.reshape(n, t).astype(out_re_ref.dtype)
-    out_im_ref[:] = im.reshape(n, t).astype(out_im_ref.dtype)
+    out_re_ref[:] = state[0].reshape(n, t).astype(out_re_ref.dtype)
+    out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
 
 @functools.partial(
@@ -110,7 +174,7 @@ def fused_fft(
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
     Output dtype matches input dtype (storage rounding at the HBM boundary);
-    all in-kernel compute is fp32 with ``algorithm`` matmul operands.
+    in-kernel compute is fp32 with ``algorithm`` matmul operands.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -125,15 +189,13 @@ def fused_fft(
     b_padded = b + pad
     grid = (b_padded // t,)
 
-    tables = stage_tables(radices, scales, sign, dtype=np.float32)
-    # DFT matrices are matmul operands: pre-round to bf16 for the plain-bf16
-    # algorithm (saves the in-kernel cast); twiddles stay fp32 (VPU multiply).
-    d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    # Block matrices are matmul operands: pre-round to bf16 for the plain-bf16
+    # algorithm (saves an in-kernel cast); twiddles stay fp32 (VPU multiply).
+    d_dtype = np.dtype("bfloat16") if algorithm == "bf16" else np.dtype("float32")
+    tables = block_dft_tables(radices, scales, sign, d_dtype=np.float32)
     table_arrays = []
-    for j, (d_re, d_im, _d_sum, w_re, w_im) in enumerate(tables):
-        table_arrays += [
-            jnp.asarray(d_re, d_dtype), jnp.asarray(d_im, d_dtype)
-        ]
+    for j, (bd, w_re, w_im) in enumerate(tables):
+        table_arrays.append(jnp.asarray(bd, jnp.bfloat16 if algorithm == "bf16" else jnp.float32))
         if j > 0:
             table_arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
 
@@ -159,7 +221,8 @@ def fused_fft(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * n * sum(radices) * (b_padded // t) * t,
+            flops=2 * sum(4 * max(2 * r, 128) ** 2 * (n // r) for r in radices)
+            * b_padded // 4,
             bytes_accessed=2 * 2 * n * b_padded * re.dtype.itemsize,
             transcendentals=0,
         ),

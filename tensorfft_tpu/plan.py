@@ -34,6 +34,7 @@ __all__ = [
     "is_power_of_2",
     "exact_log2",
     "balanced_radices",
+    "optimal_radices",
     "default_four_step_split",
 ]
 
@@ -129,11 +130,8 @@ def balanced_radices(n: int) -> Tuple[int, ...]:
     """Factor n = 2^p into ceil(p/7) nearly-equal power-of-two radices <= 256.
 
     The reference factors N into one base-16 DFT + radix-16 steps + radix-2
-    leftovers (Plan.h:99-100) because its tensor-core tile is 16x16.  The MXU
-    contraction dim is 128 wide, and per-stage cost is flat for radix <= 128,
-    so the TPU-optimal factorization simply minimizes the number of stages and
-    balances them (balanced radices keep twiddle tables and matmul M-dims
-    moderate).
+    leftovers (Plan.h:99-100) because its tensor-core tile is 16x16.  On the
+    MXU, balanced radices minimize stage count at flat per-stage cost.
     """
     p = exact_log2(n)
     if p == 0:
@@ -146,6 +144,35 @@ def balanced_radices(n: int) -> Tuple[int, ...]:
     # takes the smallest radix and later (twiddled) stages get full MXU use.
     logs.sort()
     return tuple(1 << l for l in logs)
+
+
+# Padded-MAC cost per input element of one block-complex radix-R stage: the
+# stage matmul is [[D_re,-D_im],[D_im,D_re]] (2R x 2R) @ (2R, N*B/R), and the
+# MXU pads M and K to 128.  c(R) = max(2R,128)^2 / R, minimized at R=64.
+_STAGE_COST = {
+    (1 << a): max(2 << a, 128) ** 2 // (1 << a) for a in range(1, 9)
+}
+
+
+def optimal_radices(n: int) -> Tuple[int, ...]:
+    """Factor n = 2^p minimizing total padded MXU MACs of block-complex stages.
+
+    Dynamic program over partitions of p with per-stage cost _STAGE_COST.
+    Radix 64 (block matrix 128x128 — the exact MXU tile) is the sweet spot;
+    e.g. 4096 -> (64, 64), 256 -> (256,), 2^20 -> (64, 128, 128).
+    """
+    p = exact_log2(n)
+    if p == 0:
+        return ()
+    best: dict[int, Tuple[int, Tuple[int, ...]]] = {0: (0, ())}
+    for q in range(1, p + 1):
+        candidates = []
+        for a in range(1, min(8, q) + 1):
+            cost_tail, rad_tail = best[q - a]
+            candidates.append((cost_tail + _STAGE_COST[1 << a], rad_tail + (1 << a,)))
+        best[q] = min(candidates)
+    radices = sorted(best[p][1])
+    return tuple(radices)
 
 
 def default_four_step_split(n: int, max_fused: int) -> Tuple[int, int]:
@@ -295,11 +322,11 @@ def create_plan(
         if split is None:
             split = default_four_step_split(fft_length, max_fused_length)
         four_step_split = (int(split[0]), int(split[1]))
-        col_radices = balanced_radices(four_step_split[0])
-        row_radices = balanced_radices(four_step_split[1])
+        col_radices = optimal_radices(four_step_split[0])
+        row_radices = optimal_radices(four_step_split[1])
 
     if radices is None:
-        radices = balanced_radices(fft_length)
+        radices = optimal_radices(fft_length)
     if lane_tile is None:
         # Pallas TPU requires the last block dim to be a multiple of 128.
         lane_tile = 128

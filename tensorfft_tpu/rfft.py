@@ -1,0 +1,166 @@
+"""Real-to-complex (R2C) and complex-to-real (C2R) transforms.
+
+Capability extension beyond the reference (which is C2C-only) — BASELINE.md
+config 4.  Standard half-length packing: a real signal of length N is packed
+as a complex signal z[m] = x[2m] + i*x[2m+1] of length M = N/2, transformed
+with the complex pipeline (fused Pallas kernels), and untangled on the VPU:
+
+    U[k] = Z[k],  V[k] = conj(Z[(M-k) mod M]),   k = 0..M
+    X[k] = ((U+V) - i*w[k]*(U-V)) / 4            w[k] = exp(-2*pi*i*k/N)
+
+(with our Z already carrying the 1/M forward scale, the /4 yields the
+library's 1/N-scaled X).  The inverse reverses the untangling and runs the
+complex pipeline backwards.  Everything is split planar; outputs have N/2+1
+frequency bins (NumPy rfft convention).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorfft_tpu.fft import fft_split as _fft_split, ifft_split as _ifft_split
+from tensorfft_tpu.plan import FFTPlan, create_plan
+
+__all__ = ["rfft_split", "irfft_split", "rfft", "irfft"]
+
+
+def _pack_tables(n: int, sign: int):
+    m = n // 2
+    k = np.arange(m + 1, dtype=np.float64)
+    phase = sign * 2.0 * np.pi * k / n
+    return (
+        jnp.asarray(np.cos(phase), jnp.float32),
+        jnp.asarray(np.sin(phase), jnp.float32),
+    )
+
+
+def _reverse_conj_index(m: int):
+    # indices (m - k) mod m for k = 0..m
+    idx = (m - np.arange(m + 1)) % m
+    return jnp.asarray(idx, jnp.int32)
+
+
+def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
+    """Forward R2C FFT of a real array along the last axis.
+
+    Returns (re, im) of shape (..., N/2 + 1), scaled by 1/N under the default
+    'forward' convention (matching :func:`tensorfft_tpu.fft_split`).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n % 2:
+        raise ValueError(f"rfft length must be even, got {n}")
+    m = n // 2
+    if plan is None:
+        plan = create_plan(m, **plan_kwargs)
+    elif plan.fft_length != m:
+        raise ValueError(f"plan must be for fft_length {m}, got {plan.fft_length}")
+
+    z = x.reshape(*x.shape[:-1], m, 2)
+    z_re, z_im = z[..., 0], z[..., 1]
+    Z_re, Z_im = _fft_split(z_re, z_im, plan)
+    Z_re = Z_re.astype(jnp.float32)
+    Z_im = Z_im.astype(jnp.float32)
+
+    idx = _reverse_conj_index(m)
+    u_re = jnp.take(Z_re, jnp.asarray(np.arange(m + 1) % m), axis=-1)
+    u_im = jnp.take(Z_im, jnp.asarray(np.arange(m + 1) % m), axis=-1)
+    v_re = jnp.take(Z_re, idx, axis=-1)
+    v_im = -jnp.take(Z_im, idx, axis=-1)
+
+    w_re, w_im = _pack_tables(n, -1)
+    a_re, a_im = u_re + v_re, u_im + v_im          # U + V
+    b_re, b_im = u_re - v_re, u_im - v_im          # U - V
+    # -i * w * b  =  (-i)(w_re + i w_im)(b_re + i b_im)
+    c_re = w_re * b_im + w_im * b_re
+    c_im = -(w_re * b_re - w_im * b_im)
+    scale = _output_scale(plan, forward=True)
+    out_re = (a_re + c_re) * scale
+    out_im = (a_im + c_im) * scale
+    return out_re.astype(plan.precision.storage_dtype), out_im.astype(
+        plan.precision.storage_dtype
+    )
+
+
+def _output_scale(plan: FFTPlan, forward: bool) -> float:
+    # Our half-length Z already carries the plan's scaling over length M; the
+    # untangle contributes the remaining factor so the total matches the
+    # convention over length N = 2M.
+    if plan.scaling == "forward":
+        return 0.25 if forward else 1.0
+    if plan.scaling == "none":
+        return 0.5 if forward else 0.5
+    if plan.scaling == "ortho":
+        # Z carries M^-1/2; total target (2M)^-1/2.
+        return 0.5 / np.sqrt(2.0)
+    raise ValueError(plan.scaling)
+
+
+def irfft_split(re, im, plan: Optional[FFTPlan] = None, n: Optional[int] = None,
+                **plan_kwargs):
+    """Inverse of :func:`rfft_split`: (..., N/2+1) spectrum -> (..., N) real."""
+    re = jnp.asarray(re, jnp.float32)
+    im = jnp.asarray(im, jnp.float32)
+    m_plus = re.shape[-1]
+    m = m_plus - 1
+    n = 2 * m if n is None else n
+    if n != 2 * m:
+        raise ValueError(f"irfft expects n = 2*(bins-1) = {2*m}, got {n}")
+    if plan is None:
+        plan = create_plan(m, **plan_kwargs)
+    elif plan.fft_length != m:
+        raise ValueError(f"plan must be for fft_length {m}, got {plan.fft_length}")
+
+    # Rebuild Z[k], k = 0..M-1 from X: Z[k] = (A[k] + i*wi[k]*B[k]) where
+    # A = X[k] + conj(X[M-k]), B = X[k] - conj(X[M-k]), wi[k] = exp(+2pi i k/N).
+    idx = np.arange(m)
+    rev = m - idx  # X index M-k, valid since X has M+1 bins
+    x_re_k = re[..., idx]
+    x_im_k = im[..., idx]
+    x_re_r = re[..., rev]
+    x_im_r = -im[..., rev]
+    a_re, a_im = x_re_k + x_re_r, x_im_k + x_im_r
+    b_re, b_im = x_re_k - x_re_r, x_im_k - x_im_r
+    w_re_full, w_im_full = _pack_tables(n, +1)
+    w_re, w_im = w_re_full[:m], w_im_full[:m]
+    # i * w * b
+    c_re = -(w_re * b_im + w_im * b_re)
+    c_im = w_re * b_re - w_im * b_im
+    z_re = a_re + c_re
+    z_im = a_im + c_im
+
+    inv_scale = _inverse_pre_scale(plan)
+    z_re = z_re * inv_scale
+    z_im = z_im * inv_scale
+    o_re, o_im = _ifft_split(z_re, z_im, plan)
+    x = jnp.stack([o_re.astype(jnp.float32), o_im.astype(jnp.float32)], axis=-1)
+    return x.reshape(*x.shape[:-2], n).astype(plan.precision.storage_dtype)
+
+
+def _inverse_pre_scale(plan: FFTPlan) -> float:
+    # Z[k] = A + i*w*B reconstructs the (1/M)-scaled Z exactly from the
+    # (1/N)-scaled X ('forward'); other conventions rescale accordingly.
+    if plan.scaling == "forward":
+        return 1.0
+    if plan.scaling == "none":
+        return 0.5
+    if plan.scaling == "ortho":
+        return np.sqrt(0.5)
+    raise ValueError(plan.scaling)
+
+
+def rfft(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
+    """Host-boundary convenience wrapper (returns NumPy complex64)."""
+    o_re, o_im = rfft_split(jnp.asarray(np.asarray(x)), plan, **plan_kwargs)
+    return np.asarray(o_re, np.float32) + 1j * np.asarray(o_im, np.float32)
+
+
+def irfft(x, plan: Optional[FFTPlan] = None, n: Optional[int] = None,
+          **plan_kwargs):
+    x = np.asarray(x)
+    return np.asarray(
+        irfft_split(x.real.copy(), x.imag.copy(), plan, n=n, **plan_kwargs)
+    )

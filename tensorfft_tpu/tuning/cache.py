@@ -1,0 +1,68 @@
+"""Persistent autotuning cache.
+
+The analog of the reference's ``TunerResults.dat`` (written
+FileWriter.h:250-269, parsed back by the file-driven CreatePlan overload,
+Plan.h:197-255) — a JSON file keyed by (fft_length, precision, platform)
+whose entries are ``tuning`` dicts consumed by
+:func:`tensorfft_tpu.plan.create_plan`.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+__all__ = ["TunerCache", "default_cache_path"]
+
+_VERSION = 1
+
+
+def default_cache_path() -> Path:
+    env = os.environ.get("TENSORFFT_TUNER_CACHE")
+    if env:
+        return Path(env)
+    return Path(__file__).parent / "tuner_cache.json"
+
+
+def _key(fft_length: int, precision: str, platform: str) -> str:
+    return f"n={fft_length},precision={precision},platform={platform}"
+
+
+class TunerCache:
+    def __init__(self, path: Optional[os.PathLike] = None):
+        self.path = Path(path) if path is not None else default_cache_path()
+        self._entries: dict = {}
+        if self.path.exists():
+            data = json.loads(self.path.read_text())
+            if data.get("version") == _VERSION:
+                self._entries = data.get("entries", {})
+
+    def get(self, fft_length: int, precision: str, platform: str) -> Optional[dict]:
+        """Tuning dict for create_plan(tuning=...), or None if not tuned."""
+        entry = self._entries.get(_key(fft_length, precision, platform))
+        if entry is None:
+            return None
+        tuning = dict(entry)
+        tuning.pop("time_us", None)
+        tuning.pop("gflops", None)
+        if "radices" in tuning:
+            tuning["radices"] = tuple(tuning["radices"])
+        if "four_step_split" in tuning and tuning["four_step_split"] is not None:
+            tuning["four_step_split"] = tuple(tuning["four_step_split"])
+        else:
+            tuning.pop("four_step_split", None)
+        return tuning
+
+    def put(self, fft_length: int, precision: str, platform: str, entry: dict):
+        self._entries[_key(fft_length, precision, platform)] = entry
+
+    def save(self):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(
+            json.dumps({"version": _VERSION, "entries": self._entries}, indent=1,
+                       sort_keys=True)
+        )
+
+    def __len__(self):
+        return len(self._entries)

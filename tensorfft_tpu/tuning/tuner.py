@@ -1,0 +1,170 @@
+"""Autotuner: enumerate plan configurations, measure, keep the fastest.
+
+Mirror of the reference's tuner machinery: GetSearchSpace enumerates warp
+counts by powers of two within device limits (BenchUtil.h:77-107),
+GetRunConfigs takes the cartesian product (:109-150), RunBenchOverSearchSpace
+maps configs to measurements (Bench.h:22-69), GetFastestConfig is the argmin
+(BenchUtil.h:60-75), and TunerSingleFFT.cu:10-56 drives the sweep and persists
+results.  The TPU tunables are radix factorizations and four-step splits
+instead of launch geometry; measurement uses the chained-slope timer.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tensorfft_tpu.plan import (
+    Strategy,
+    balanced_radices,
+    create_plan,
+    default_four_step_split,
+    exact_log2,
+    optimal_radices,
+)
+
+__all__ = [
+    "RunConfig",
+    "get_search_space",
+    "get_run_configs",
+    "run_bench_over_search_space",
+    "tune",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """One candidate configuration (reference RunConfig, BenchUtil.h:24-30)."""
+
+    radices: Optional[Tuple[int, ...]] = None
+    four_step_split: Optional[Tuple[int, int]] = None
+    strategy: str = "auto"
+    lane_tile: int = 128
+
+    def as_tuning(self) -> dict:
+        t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
+        if self.radices is not None:
+            t["radices"] = self.radices
+        if self.four_step_split is not None:
+            t["four_step_split"] = self.four_step_split
+        return t
+
+
+def _radix_candidates(n: int, max_candidates: int = 4) -> List[Tuple[int, ...]]:
+    """Distinct plausible factorizations: MAC-optimal, balanced, neighbors."""
+    cands = [optimal_radices(n), balanced_radices(n)]
+    p = exact_log2(n)
+    # A couple of structured alternatives around the optimum.
+    for logs in ([6] * (p // 6) + ([p % 6] if p % 6 else []),
+                 [7] * (p // 7) + ([p % 7] if p % 7 else [])):
+        if logs and all(1 <= l <= 8 for l in logs):
+            cands.append(tuple(sorted(1 << l for l in logs)))
+    out, seen = [], set()
+    for c in cands:
+        if c and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out[:max_candidates]
+
+
+def get_search_space(n: int, max_fused_length: int = 4096) -> dict:
+    """Tunable dimensions for one fft_length (BenchUtil.h:77-107 analog)."""
+    space = {"radices": _radix_candidates(n), "strategy": ["fused"],
+             "four_step_split": [None]}
+    if n > max_fused_length:
+        p = exact_log2(n)
+        pf = exact_log2(max_fused_length)
+        splits = []
+        base = default_four_step_split(n, max_fused_length)
+        splits.append(base)
+        for shift in (1, 2):
+            p1 = p // 2 - shift
+            if 0 < p1 and p - p1 <= pf:
+                splits.append((1 << p1, 1 << (p - p1)))
+        space = {
+            "radices": [None],
+            "strategy": ["four_step"],
+            "four_step_split": splits,
+        }
+    return space
+
+
+def get_run_configs(space: dict) -> List[RunConfig]:
+    """Cartesian product of the search space (BenchUtil.h:109-150 analog)."""
+    configs = []
+    for radices, strategy, split in itertools.product(
+        space["radices"], space["strategy"], space["four_step_split"]
+    ):
+        configs.append(
+            RunConfig(radices=radices, strategy=strategy, four_step_split=split)
+        )
+    return configs
+
+
+def run_bench_over_search_space(
+    n: int,
+    configs: Sequence[RunConfig],
+    batch: int = 1024,
+    precision: str = "bfloat16",
+    measure_kwargs: Optional[dict] = None,
+):
+    """Measure every config; returns list of (config, time_ns) (Bench.h:22-69)."""
+    import jax.numpy as jnp
+
+    from tensorfft_tpu.fft import _fft_split_jit
+    from tensorfft_tpu.testing.timer import chain_measure
+
+    from tensorfft_tpu.plan import Precision
+
+    rng = np.random.default_rng(0)
+    storage = Precision(precision).storage_dtype
+    re = jnp.asarray(rng.standard_normal((batch, n)), storage)
+    im = jnp.asarray(rng.standard_normal((batch, n)), storage)
+    results = []
+    for cfg in configs:
+        try:
+            plan = create_plan(n, precision=precision, tuning=cfg.as_tuning())
+            fn = lambda a, b: _fft_split_jit(a, b, plan, True)
+            r = chain_measure(fn, (re, im), **(measure_kwargs or {}))
+            results.append((cfg, r.average_time_ns))
+        except Exception as e:  # config invalid on this device — skip, like
+            # the reference skipping PlanWorksOnDevice failures
+            results.append((cfg, float("inf")))
+    return results
+
+
+def tune(
+    n: int,
+    batch: int = 1024,
+    precision: str = "bfloat16",
+    cache=None,
+    measure_kwargs: Optional[dict] = None,
+) -> dict:
+    """Tune one fft_length and (optionally) persist the winner to ``cache``.
+
+    Returns the winning tuning dict (TunerSingleFFT.cu main-loop analog).
+    """
+    import jax
+
+    space = get_search_space(n)
+    configs = get_run_configs(space)
+    results = run_bench_over_search_space(
+        n, configs, batch=batch, precision=precision,
+        measure_kwargs=measure_kwargs,
+    )
+    best_cfg, best_ns = min(results, key=lambda r: r[1])
+    entry = best_cfg.as_tuning()
+    flops = 5.0 * n * float(np.log2(n)) * batch
+    entry_out = dict(entry)
+    entry_out["time_us"] = round(best_ns / 1e3, 2)
+    entry_out["gflops"] = round(flops / best_ns, 1)
+    if entry_out.get("radices") is not None:
+        entry_out["radices"] = list(entry_out["radices"])
+    if entry_out.get("four_step_split") is not None:
+        entry_out["four_step_split"] = list(entry_out["four_step_split"])
+    if cache is not None:
+        platform = jax.devices()[0].platform
+        cache.put(n, precision, platform, entry_out)
+    return entry

@@ -1,0 +1,84 @@
+"""Tuner cache/search-space and file-writer tests (T3/T8-T10 analogs)."""
+import numpy as np
+import pytest
+
+import tensorfft_tpu as tfft
+from tensorfft_tpu.testing.io import (
+    read_results_from_file,
+    write_accuracy_table,
+    write_bench_table,
+    write_results_to_file,
+)
+from tensorfft_tpu.tuning import (
+    TunerCache,
+    get_run_configs,
+    get_search_space,
+    tune,
+)
+
+
+def test_search_space_small_n():
+    space = get_search_space(4096)
+    cfgs = get_run_configs(space)
+    assert len(cfgs) >= 2
+    assert all(c.strategy == "fused" for c in cfgs)
+    assert any(c.radices == (64, 64) for c in cfgs)
+
+
+def test_search_space_large_n():
+    space = get_search_space(1 << 20)
+    cfgs = get_run_configs(space)
+    assert all(c.strategy == "four_step" for c in cfgs)
+    assert all(
+        c.four_step_split[0] * c.four_step_split[1] == 1 << 20 for c in cfgs
+    )
+
+
+def test_cache_roundtrip(tmp_path):
+    cache = TunerCache(tmp_path / "cache.json")
+    cache.put(4096, "bfloat16", "cpu",
+              {"radices": [64, 64], "strategy": "fused", "lane_tile": 128,
+               "time_us": 1.0, "gflops": 2.0})
+    cache.save()
+    cache2 = TunerCache(tmp_path / "cache.json")
+    tuning = cache2.get(4096, "bfloat16", "cpu")
+    assert tuning["radices"] == (64, 64)
+    assert "time_us" not in tuning  # measurement metadata stripped
+    plan = tfft.create_plan(4096, tuning=tuning)
+    assert plan.radices == (64, 64)
+    assert cache2.get(8192, "bfloat16", "cpu") is None
+
+
+def test_tune_smoke(tmp_path):
+    # Tiny tune on CPU: picks some config and persists it.
+    cache = TunerCache(tmp_path / "cache.json")
+    entry = tune(256, batch=64, precision="float32", cache=cache,
+                 measure_kwargs=dict(iters_low=1, iters_high=2, reps=1))
+    cache.save()
+    assert "strategy" in entry
+    got = TunerCache(tmp_path / "cache.json").get(256, "float32", "cpu")
+    assert got is not None
+    plan = tfft.create_plan(256, precision="float32", tuning=got)
+    assert plan.fft_length == 256
+
+
+def test_result_file_roundtrip(tmp_path):
+    re = np.linspace(0, 1, 8)
+    im = np.linspace(1, 2, 8)
+    p = tmp_path / "res.dat"
+    write_results_to_file(p, re, im)
+    r2, i2 = read_results_from_file(p)
+    np.testing.assert_allclose(r2, re)
+    np.testing.assert_allclose(i2, im)
+
+
+def test_tables(tmp_path):
+    write_accuracy_table(tmp_path / "acc.dat", [
+        {"fft_length": 256, "avg": 1e-5, "sigma": 1e-5, "max": 1e-4}
+    ])
+    write_bench_table(tmp_path / "bench.dat", [
+        {"fft_length": 256, "batch": 2, "avg_time_us": 12.0, "gflops": 5.0}
+    ])
+    assert (tmp_path / "acc.dat").read_text().count("\n") == 2
+    assert (tmp_path / "acc.dat.json").exists()
+    assert (tmp_path / "bench.dat.json").exists()
