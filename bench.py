@@ -66,17 +66,18 @@ def main():
     flops = 5.0 * n * float(np.log2(n)) * batch
     gflops = flops / max(r.average_time_ns, 1e-9)
 
-    # Speed-of-light model for one fused pass on v5e: HBM traffic bound
-    # (read+write both planes) vs padded-MXU bound (4 real matmuls/stage,
-    # M and K pad to 128).
+    # Speed-of-light model: HBM traffic bound vs padded block-complex MXU
+    # bound (see tensorfft_tpu/utils/device.py).
+    from tensorfft_tpu.utils import fft_roofline_seconds
+
     itemsize = jnp.dtype(storage).itemsize
-    hbm_bytes = 2 * 2 * n * batch * itemsize
-    hbm_s = hbm_bytes / 819e9
-    padded_macs = sum(
-        4 * max(rdx, 128) ** 2 * (n // rdx) * batch for rdx in plan.radices
-    )
-    mxu_s = padded_macs / (197e12 / 2)
-    roofline_s = max(hbm_s, mxu_s)
+    if plan.resolve_strategy().value == "four_step":
+        passes = 2
+        radices = tuple(plan.col_radices) + tuple(plan.row_radices)
+    else:
+        passes = 1
+        radices = plan.radices
+    roofline_s = fft_roofline_seconds(n, batch, radices, itemsize, passes=passes)
     roofline_fraction = roofline_s / (r.average_time_ns / 1e9)
 
     result = {

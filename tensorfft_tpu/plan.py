@@ -356,6 +356,8 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
     """
     import jax
 
+    from tensorfft_tpu.utils.device import device_spec
+
     if device is None:
         device = jax.devices()[0]
     platform = getattr(device, "platform", "cpu")
@@ -366,7 +368,7 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
         n_fused = max(plan.four_step_split)
     n_fused = min(n_fused, plan.max_fused_length)
     working_set = n_fused * plan.lane_tile * 4 * 2 * 2
-    vmem_budget = 128 * 1024 * 1024 if platform == "cpu" else 14 * 1024 * 1024
+    vmem_budget = device_spec(device).vmem_bytes - 2 * 1024 * 1024
     if working_set > vmem_budget:
         return (
             False,
