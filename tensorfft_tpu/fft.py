@@ -150,6 +150,28 @@ def _fft_split_core(re, im, plan, forward):
     batch_shape = re.shape[:-1]
     n = re.shape[-1]
     b = int(np.prod(batch_shape)) if batch_shape else 1
+
+    if plan.resolve_strategy() is Strategy.FOUR_STEP:
+        # Batch-major fused path: two Pallas passes, transposes absorbed into
+        # the kernels' block specs (ops/four_step_pallas.py).
+        from tensorfft_tpu.ops import four_step_pallas
+
+        n1, n2 = plan.four_step_split
+        sign = dft.FORWARD if forward else dft.INVERSE
+        out_re, out_im = four_step_pallas.four_step_fft(
+            re.reshape(b, n), im.reshape(b, n),
+            n1=n1, n2=n2,
+            radices1=plan.col_radices, radices2=plan.row_radices,
+            scales1=stage_scales(plan.col_radices, plan.scaling, forward),
+            scales2=stage_scales(plan.row_radices, plan.scaling, forward),
+            sign=sign, lane_tile=plan.lane_tile,
+            algorithm=plan.precision.dot_algorithm,
+        )
+        return (
+            out_re.reshape(*batch_shape, n),
+            out_im.reshape(*batch_shape, n),
+        )
+
     re2 = re.reshape(b, n).T
     im2 = im.reshape(b, n).T
     out_re, out_im = _fft_transform_major(re2, im2, plan, forward)

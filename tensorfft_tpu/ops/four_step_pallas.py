@@ -1,0 +1,257 @@
+"""Fused Bailey four-step: two Pallas passes, zero standalone transposes.
+
+Composes the whole-transform kernel (fused_pallas.py) into arbitrarily large
+1D FFTs (N = n1 * n2) at the HBM-traffic floor of two read+write rounds:
+
+  Pass K1 (columns):  x viewed (B, n1, n2).  Each program owns an
+      (n1, T)-lane panel, runs all n1-stages in VMEM, and applies the
+      four-step twiddle W[k1, j2] = exp(sign*2*pi*i*k1*j2/N) before the
+      store, reconstructed per block from rank-separated tables
+      P[k1, block] * Q[k1, lane] (dft.four_step_twiddle_factors) — the
+      data-sized W never exists.
+
+  Pass K2 (rows): reads TRANSPOSED blocks (1, k1_tile, n2) straight out of
+      K1's output, transposes once in VMEM, runs all n2-stages, and writes
+      the (n2, k1_tile) result into the output at the transposed position —
+      so the final digit-swap of the four-step (X[k2*n1+k1] = Z[k1,k2]) is
+      absorbed into the output BlockSpec instead of a third memory pass.
+
+Compare the reference, whose every radix-16 step is a full global-memory
+round trip (ComputeFFT.h:89-120): for N = 2^24 that is 5 round trips vs 2.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensorfft_tpu import dft
+from tensorfft_tpu.ops import dots
+from tensorfft_tpu.ops.fused_pallas import (
+    _MAX_KLOOP,
+    _interpret_default,
+    block_dft_tables,
+)
+
+__all__ = ["four_step_fft"]
+
+
+def _stage_loop(state, table_refs, radices, algorithm, n, t, ti=0):
+    """Run the whole stage sequence on a stacked (2, n, t) fp32 state.
+
+    Shared by both passes; same math as fused_fft_kernel_body but starting
+    from an in-VMEM stacked state instead of input refs.
+    """
+    k = 1
+    m = n
+    for j, radix in enumerate(radices):
+        m //= radix
+        bd = table_refs[ti][:]
+        ti += 1
+        if j == 0:
+            z2 = state.reshape(2 * radix, m * t)
+            out = dots.dot(bd, z2, algorithm)
+            state = out.reshape(2, radix, m * t)
+        elif k <= _MAX_KLOOP:
+            w_re = table_refs[ti][:]
+            w_im = table_refs[ti + 1][:]
+            ti += 2
+            zv = state.reshape(2, k, radix, m * t)
+            outs = []
+            for kk in range(k):
+                sr = zv[0, kk]
+                si = zv[1, kk]
+                wr = w_re[:, kk][:, None]
+                wi = w_im[:, kk][:, None]
+                zk = jnp.concatenate([sr * wr - si * wi, sr * wi + si * wr], axis=0)
+                outs.append(dots.dot(bd, zk, algorithm).reshape(2, radix, m * t))
+            out = jnp.stack(outs, axis=2)
+            state = out.reshape(2, radix * k, m * t)
+        else:
+            w_re = table_refs[ti][:].T[None, :, :, None]
+            w_im = table_refs[ti + 1][:].T[None, :, :, None]
+            ti += 2
+            zv = state.reshape(2, k, radix, m * t)
+            tw = jnp.stack([zv[0] * w_re[0] - zv[1] * w_im[0],
+                            zv[0] * w_im[0] + zv[1] * w_re[0]])
+            z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
+            out = dots.dot(bd, z2, algorithm)
+            state = out.reshape(2, radix * k, m * t)
+        k *= radix
+    return state, ti
+
+
+def _col_kernel(refs, radices, algorithm, n1, t):
+    """Pass K1: (1, n1, T) block -> n1-point FFTs + four-step twiddle."""
+    re_ref, im_ref = refs[0], refs[1]
+    p_ref, q_ref = refs[2], refs[3]  # (2, n1, n2//T) resident, (2, n1, T)
+    out_re_ref, out_im_ref = refs[-2], refs[-1]
+    table_refs = refs[4:-2]
+
+    state = jnp.stack(
+        [re_ref[0].astype(jnp.float32), im_ref[0].astype(jnp.float32)]
+    )
+    state, _ = _stage_loop(state, table_refs, radices, algorithm, n1, t)
+    state = state.reshape(2, n1, t)
+    # Four-step twiddle W = P[:, block] * Q (complex), fp32 on the VPU.  The
+    # P table stays VMEM-resident in full (it is O(n1 * n2/T), tiny); Mosaic
+    # cannot prove lane-dim dynamic slices aligned, so the block's column is
+    # extracted with a one-hot matmul instead (blocks <= n2/T, negligible).
+    it = pl.program_id(1)
+    blocks = p_ref.shape[2]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (blocks, 1), 0) == it
+              ).astype(jnp.float32)
+    p_re = jax.lax.dot(p_ref[0], onehot, preferred_element_type=jnp.float32)
+    p_im = jax.lax.dot(p_ref[1], onehot, preferred_element_type=jnp.float32)
+    q_re = q_ref[0]
+    q_im = q_ref[1]
+    w_re = p_re * q_re - p_im * q_im
+    w_im = p_re * q_im + p_im * q_re
+    o_re = state[0] * w_re - state[1] * w_im
+    o_im = state[0] * w_im + state[1] * w_re
+    out_re_ref[0] = o_re.astype(out_re_ref.dtype)
+    out_im_ref[0] = o_im.astype(out_im_ref.dtype)
+
+
+def _row_kernel(refs, radices, algorithm, n2, k1_tile):
+    """Pass K2: transposed-read (1, k1_tile, n2) block -> n2-point FFTs,
+    written at the transposed output position."""
+    re_ref, im_ref = refs[0], refs[1]
+    out_re_ref, out_im_ref = refs[-2], refs[-1]
+    table_refs = refs[2:-2]
+
+    state = jnp.stack([
+        re_ref[0].astype(jnp.float32).T,  # (n2, k1_tile)
+        im_ref[0].astype(jnp.float32).T,
+    ])
+    state, _ = _stage_loop(state, table_refs, radices, algorithm, n2, k1_tile)
+    state = state.reshape(2, n2, k1_tile)
+    out_re_ref[0] = state[0].astype(out_re_ref.dtype)
+    out_im_ref[0] = state[1].astype(out_im_ref.dtype)
+
+
+def _tables_arrays(radices, scales, sign, algorithm):
+    d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    arrays = []
+    for j, (bd, w_re, w_im) in enumerate(
+        block_dft_tables(radices, scales, sign)
+    ):
+        arrays.append(jnp.asarray(bd, d_dtype))
+        if j > 0:
+            arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
+    return arrays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
+        "lane_tile", "algorithm", "interpret",
+    ),
+)
+def four_step_fft(
+    re,
+    im,
+    *,
+    n1: int,
+    n2: int,
+    radices1: Tuple[int, ...],
+    radices2: Tuple[int, ...],
+    scales1: Tuple[float, ...],
+    scales2: Tuple[float, ...],
+    sign: int = dft.FORWARD,
+    lane_tile: int = 128,
+    algorithm: str = "bf16",
+    interpret: bool | None = None,
+):
+    """Large-N FFT on batch-major (B, N) planes, N = n1*n2.
+
+    Returns (B, N) planes in natural frequency order, storage dtype = input
+    dtype.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, n = re.shape
+    assert n == n1 * n2
+    t = min(lane_tile, n2)
+    assert n2 % t == 0, (n2, t)
+    k1_tile = min(128, n1)
+    assert n1 % k1_tile == 0
+
+    re3 = re.reshape(b, n1, n2)
+    im3 = im.reshape(b, n1, n2)
+
+    # Pass K1.
+    p_re, p_im, q_re, q_im = dft.four_step_twiddle_factors(
+        n1, n2, t, dtype=np.float32, sign=sign
+    )
+    p_tab = jnp.asarray(np.stack([p_re, p_im]))      # (2, n1, n2//t)
+    q_tab = jnp.asarray(np.stack([q_re, q_im]))      # (2, n1, t)
+    tables1 = _tables_arrays(radices1, scales1, sign, algorithm)
+
+    data_spec1 = pl.BlockSpec(
+        (1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+    )
+    p_spec = pl.BlockSpec(
+        (2, n1, n2 // t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    q_spec = pl.BlockSpec(
+        (2, n1, t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    table_specs1 = [
+        pl.BlockSpec(a.shape, lambda ib, it, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables1
+    ]
+    kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t)
+    mid_re, mid_im = pl.pallas_call(
+        kern1,
+        grid=(b, n2 // t),
+        in_specs=[data_spec1, data_spec1, p_spec, q_spec] + table_specs1,
+        out_specs=(data_spec1, data_spec1),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n1, n2), re.dtype),
+            jax.ShapeDtypeStruct((b, n1, n2), im.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(re3, im3, p_tab, q_tab, *tables1)
+
+    # Pass K2.
+    tables2 = _tables_arrays(radices2, scales2, sign, algorithm)
+    in_spec2 = pl.BlockSpec(
+        (1, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
+    )
+    out_spec2 = pl.BlockSpec(
+        (1, n2, k1_tile), lambda ib, ik: (ib, 0, ik), memory_space=pltpu.VMEM
+    )
+    table_specs2 = [
+        pl.BlockSpec(a.shape, lambda ib, ik, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables2
+    ]
+    kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile)
+    out_re, out_im = pl.pallas_call(
+        kern2,
+        grid=(b, n1 // k1_tile),
+        in_specs=[in_spec2, in_spec2] + table_specs2,
+        out_specs=(out_spec2, out_spec2),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n2, n1), re.dtype),
+            jax.ShapeDtypeStruct((b, n2, n1), im.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(mid_re, mid_im, *tables2)
+
+    return out_re.reshape(b, n), out_im.reshape(b, n)
