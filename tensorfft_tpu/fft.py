@@ -261,6 +261,48 @@ def ifft(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
 # ---------------------------------------------------------------------------
 
 def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
+    # Fast path: a transform over the last two axes with both lengths within
+    # the fused-kernel range runs as two Pallas passes with the transposes
+    # absorbed into block specs (ops/four_step_pallas.fft2_fused) — the
+    # config-3 "row-column with fused transpose" path.
+    axes_norm = tuple(a % re.ndim for a in axes)
+    if (
+        len(axes_norm) == 2
+        and re.ndim >= 2
+        and set(axes_norm) == {re.ndim - 2, re.ndim - 1}
+        and not plans
+    ):
+        h, w = re.shape[-2], re.shape[-1]
+        from tensorfft_tpu.plan import is_power_of_2
+
+        plan_h = create_plan(h, **plan_kwargs) if is_power_of_2(h) else None
+        plan_w = create_plan(w, **plan_kwargs) if is_power_of_2(w) else None
+        if (
+            plan_h is not None and plan_w is not None
+            and plan_h.resolve_strategy() is Strategy.FUSED
+            and plan_w.resolve_strategy() is Strategy.FUSED
+            and h >= 8
+        ):
+            from tensorfft_tpu.ops import four_step_pallas
+
+            batch_shape = re.shape[:-2]
+            b = int(np.prod(batch_shape)) if batch_shape else 1
+            sign = dft.FORWARD if forward else dft.INVERSE
+            storage = plan_h.precision.storage_dtype
+            o_re, o_im = four_step_pallas.fft2_fused(
+                re.reshape(b, h, w).astype(storage),
+                im.reshape(b, h, w).astype(storage),
+                radices1=plan_h.radices, radices2=plan_w.radices,
+                scales1=stage_scales(plan_h.radices, plan_h.scaling, forward),
+                scales2=stage_scales(plan_w.radices, plan_w.scaling, forward),
+                sign=sign, lane_tile=plan_h.lane_tile,
+                algorithm=plan_h.precision.dot_algorithm,
+            )
+            return (
+                o_re.reshape(*batch_shape, h, w),
+                o_im.reshape(*batch_shape, h, w),
+            )
+
     for ax in axes:
         re_m = jnp.moveaxis(re, ax, -1)
         im_m = jnp.moveaxis(im, ax, -1)

@@ -39,7 +39,7 @@ from tensorfft_tpu.ops.fused_pallas import (
     block_dft_tables,
 )
 
-__all__ = ["four_step_fft"]
+__all__ = ["four_step_fft", "fft2_fused"]
 
 
 def _stage_loop(state, table_refs, radices, algorithm, n, t, ti=0):
@@ -87,53 +87,76 @@ def _stage_loop(state, table_refs, radices, algorithm, n, t, ti=0):
     return state, ti
 
 
-def _col_kernel(refs, radices, algorithm, n1, t):
-    """Pass K1: (1, n1, T) block -> n1-point FFTs + four-step twiddle."""
+def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True):
+    """Pass K1: (bt, n1, T) block -> bt panels of n1-point FFTs
+    (+ four-step twiddle).
+
+    bt batch elements per program amortize grid/DMA overhead when n1*T is
+    small (mid-size N); the loop is unrolled at trace time.  With
+    twiddle=False this is a plain batched column FFT — the first pass of a
+    row-column 2D transform (no P/Q refs in that case).
+    """
     re_ref, im_ref = refs[0], refs[1]
-    p_ref, q_ref = refs[2], refs[3]  # (2, n1, n2//T) resident, (2, n1, T)
+    if twiddle:
+        p_ref, q_ref = refs[2], refs[3]  # (2, n1, n2//T) resident, (2, n1, T)
+        table_refs = refs[4:-2]
+    else:
+        table_refs = refs[2:-2]
     out_re_ref, out_im_ref = refs[-2], refs[-1]
-    table_refs = refs[4:-2]
 
-    state = jnp.stack(
-        [re_ref[0].astype(jnp.float32), im_ref[0].astype(jnp.float32)]
-    )
-    state, _ = _stage_loop(state, table_refs, radices, algorithm, n1, t)
-    state = state.reshape(2, n1, t)
-    # Four-step twiddle W = P[:, block] * Q (complex), fp32 on the VPU.  The
-    # P table stays VMEM-resident in full (it is O(n1 * n2/T), tiny); Mosaic
-    # cannot prove lane-dim dynamic slices aligned, so the block's column is
-    # extracted with a one-hot matmul instead (blocks <= n2/T, negligible).
-    it = pl.program_id(1)
-    blocks = p_ref.shape[2]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (blocks, 1), 0) == it
-              ).astype(jnp.float32)
-    p_re = jax.lax.dot(p_ref[0], onehot, preferred_element_type=jnp.float32)
-    p_im = jax.lax.dot(p_ref[1], onehot, preferred_element_type=jnp.float32)
-    q_re = q_ref[0]
-    q_im = q_ref[1]
-    w_re = p_re * q_re - p_im * q_im
-    w_im = p_re * q_im + p_im * q_re
-    o_re = state[0] * w_re - state[1] * w_im
-    o_im = state[0] * w_im + state[1] * w_re
-    out_re_ref[0] = o_re.astype(out_re_ref.dtype)
-    out_im_ref[0] = o_im.astype(out_im_ref.dtype)
+    if twiddle:
+        # Four-step twiddle W = P[:, block] * Q (complex), fp32 on the VPU.
+        # The P table stays VMEM-resident in full (it is O(n1 * n2/T), tiny);
+        # Mosaic cannot prove lane-dim dynamic slices aligned, so the block's
+        # column is extracted with a one-hot matmul (blocks <= n2/T).
+        it = pl.program_id(1)
+        blocks = p_ref.shape[2]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (blocks, 1), 0) == it
+                  ).astype(jnp.float32)
+        p_re = jax.lax.dot(p_ref[0], onehot, preferred_element_type=jnp.float32)
+        p_im = jax.lax.dot(p_ref[1], onehot, preferred_element_type=jnp.float32)
+        w_re = p_re * q_ref[0] - p_im * q_ref[1]
+        w_im = p_re * q_ref[1] + p_im * q_ref[0]
+
+    for i in range(bt):
+        state = jnp.stack(
+            [re_ref[i].astype(jnp.float32), im_ref[i].astype(jnp.float32)]
+        )
+        state, _ = _stage_loop(state, table_refs, radices, algorithm, n1, t)
+        state = state.reshape(2, n1, t)
+        if twiddle:
+            o_re = state[0] * w_re - state[1] * w_im
+            o_im = state[0] * w_im + state[1] * w_re
+        else:
+            o_re, o_im = state[0], state[1]
+        out_re_ref[i] = o_re.astype(out_re_ref.dtype)
+        out_im_ref[i] = o_im.astype(out_im_ref.dtype)
 
 
-def _row_kernel(refs, radices, algorithm, n2, k1_tile):
-    """Pass K2: transposed-read (1, k1_tile, n2) block -> n2-point FFTs,
-    written at the transposed output position."""
+def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True):
+    """Pass K2: transposed-read (bt, k1_tile, n2) block -> n2-point FFTs.
+
+    transposed=True writes each (n2, k1_tile) result at the digit-swapped
+    position (four-step natural-k output); transposed=False transposes back
+    in VMEM and stores in place (row-column 2D transform output layout).
+    """
     re_ref, im_ref = refs[0], refs[1]
     out_re_ref, out_im_ref = refs[-2], refs[-1]
     table_refs = refs[2:-2]
 
-    state = jnp.stack([
-        re_ref[0].astype(jnp.float32).T,  # (n2, k1_tile)
-        im_ref[0].astype(jnp.float32).T,
-    ])
-    state, _ = _stage_loop(state, table_refs, radices, algorithm, n2, k1_tile)
-    state = state.reshape(2, n2, k1_tile)
-    out_re_ref[0] = state[0].astype(out_re_ref.dtype)
-    out_im_ref[0] = state[1].astype(out_im_ref.dtype)
+    for i in range(bt):
+        state = jnp.stack([
+            re_ref[i].astype(jnp.float32).T,  # (n2, k1_tile)
+            im_ref[i].astype(jnp.float32).T,
+        ])
+        state, _ = _stage_loop(state, table_refs, radices, algorithm, n2, k1_tile)
+        state = state.reshape(2, n2, k1_tile)
+        if transposed:
+            out_re_ref[i] = state[0].astype(out_re_ref.dtype)
+            out_im_ref[i] = state[1].astype(out_im_ref.dtype)
+        else:
+            out_re_ref[i] = state[0].T.astype(out_re_ref.dtype)
+            out_im_ref[i] = state[1].T.astype(out_im_ref.dtype)
 
 
 def _tables_arrays(radices, scales, sign, algorithm):
@@ -184,6 +207,19 @@ def four_step_fft(
     k1_tile = min(128, n1)
     assert n1 % k1_tile == 0
 
+    def batch_tile(panel_elems: int) -> int:
+        # Enough batch elements per program to keep the block around 256K
+        # elements (mid-size N would otherwise drown in grid/DMA overhead);
+        # must divide b, so take the largest power of two that does.
+        target = max(1, (1 << 18) // max(panel_elems, 1))
+        bt = 1
+        while bt * 2 <= target and b % (bt * 2) == 0:
+            bt *= 2
+        return bt
+
+    bt1 = batch_tile(n1 * t)
+    bt2 = batch_tile(k1_tile * n2)
+
     re3 = re.reshape(b, n1, n2)
     im3 = im.reshape(b, n1, n2)
 
@@ -196,7 +232,7 @@ def four_step_fft(
     tables1 = _tables_arrays(radices1, scales1, sign, algorithm)
 
     data_spec1 = pl.BlockSpec(
-        (1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+        (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
     p_spec = pl.BlockSpec(
         (2, n1, n2 // t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
@@ -209,10 +245,10 @@ def four_step_fft(
                      memory_space=pltpu.VMEM)
         for a in tables1
     ]
-    kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t)
+    kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t, bt1)
     mid_re, mid_im = pl.pallas_call(
         kern1,
-        grid=(b, n2 // t),
+        grid=(b // bt1, n2 // t),
         in_specs=[data_spec1, data_spec1, p_spec, q_spec] + table_specs1,
         out_specs=(data_spec1, data_spec1),
         out_shape=(
@@ -228,20 +264,20 @@ def four_step_fft(
     # Pass K2.
     tables2 = _tables_arrays(radices2, scales2, sign, algorithm)
     in_spec2 = pl.BlockSpec(
-        (1, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
+        (bt2, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )
     out_spec2 = pl.BlockSpec(
-        (1, n2, k1_tile), lambda ib, ik: (ib, 0, ik), memory_space=pltpu.VMEM
+        (bt2, n2, k1_tile), lambda ib, ik: (ib, 0, ik), memory_space=pltpu.VMEM
     )
     table_specs2 = [
         pl.BlockSpec(a.shape, lambda ib, ik, nd=a.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
         for a in tables2
     ]
-    kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile)
+    kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile, bt2)
     out_re, out_im = pl.pallas_call(
         kern2,
-        grid=(b, n1 // k1_tile),
+        grid=(b // bt2, n1 // k1_tile),
         in_specs=[in_spec2, in_spec2] + table_specs2,
         out_specs=(out_spec2, out_spec2),
         out_shape=(
@@ -255,3 +291,107 @@ def four_step_fft(
     )(mid_re, mid_im, *tables2)
 
     return out_re.reshape(b, n), out_im.reshape(b, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radices1", "radices2", "scales1", "scales2", "sign", "lane_tile",
+        "algorithm", "interpret",
+    ),
+)
+def fft2_fused(
+    re,
+    im,
+    *,
+    radices1: Tuple[int, ...],
+    radices2: Tuple[int, ...],
+    scales1: Tuple[float, ...],
+    scales2: Tuple[float, ...],
+    sign: int = dft.FORWARD,
+    lane_tile: int = 128,
+    algorithm: str = "bf16",
+    interpret: bool | None = None,
+):
+    """2D FFT of (B, H, W) planes via the four-step kernels minus the twiddle.
+
+    A row-column 2D transform IS the Bailey four-step without the inter-pass
+    twiddle and without the output digit swap: pass 1 runs H-point FFTs down
+    the columns, pass 2 runs W-point FFTs along the rows reading transposed
+    blocks, storing back in place.  Output (B, H, W) = (B, kh, kw), natural
+    order, one HBM round trip per pass (config-3: "2D FFT via row-column
+    matmul stages with fused transpose").
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, h, w = re.shape
+    t = min(lane_tile, w)
+    assert w % t == 0
+    kh_tile = min(128, h)
+    assert h % kh_tile == 0
+
+    def batch_tile(panel_elems: int) -> int:
+        target = max(1, (1 << 18) // max(panel_elems, 1))
+        bt = 1
+        while bt * 2 <= target and b % (bt * 2) == 0:
+            bt *= 2
+        return bt
+
+    bt1 = batch_tile(h * t)
+    bt2 = batch_tile(kh_tile * w)
+
+    tables1 = _tables_arrays(radices1, scales1, sign, algorithm)
+    data_spec1 = pl.BlockSpec(
+        (bt1, h, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+    )
+    table_specs1 = [
+        pl.BlockSpec(a.shape, lambda ib, it, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables1
+    ]
+    kern1 = lambda *refs: _col_kernel(
+        refs, radices1, algorithm, h, t, bt1, twiddle=False
+    )
+    mid_re, mid_im = pl.pallas_call(
+        kern1,
+        grid=(b // bt1, w // t),
+        in_specs=[data_spec1, data_spec1] + table_specs1,
+        out_specs=(data_spec1, data_spec1),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), re.dtype),
+            jax.ShapeDtypeStruct((b, h, w), im.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(re, im, *tables1)
+
+    tables2 = _tables_arrays(radices2, scales2, sign, algorithm)
+    in_spec2 = pl.BlockSpec(
+        (bt2, kh_tile, w), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
+    )
+    table_specs2 = [
+        pl.BlockSpec(a.shape, lambda ib, ik, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables2
+    ]
+    kern2 = lambda *refs: _row_kernel(
+        refs, radices2, algorithm, w, kh_tile, bt2, transposed=False
+    )
+    out_re, out_im = pl.pallas_call(
+        kern2,
+        grid=(b // bt2, h // kh_tile),
+        in_specs=[in_spec2, in_spec2] + table_specs2,
+        out_specs=(in_spec2, in_spec2),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), re.dtype),
+            jax.ShapeDtypeStruct((b, h, w), im.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(mid_re, mid_im, *tables2)
+
+    return out_re, out_im
