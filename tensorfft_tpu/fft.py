@@ -90,40 +90,6 @@ def _fft_transform_major(re, im, plan: FFTPlan, forward: bool):
         scales = stage_scales(plan.radices, plan.scaling, forward)
         return engine(re, im, plan.radices, scales, sign)
 
-    if strategy is Strategy.FOUR_STEP:
-        n1, n2 = plan.four_step_split
-        # Total scale is distributed over the two passes' stages.
-        scales1 = stage_scales(plan.col_radices, plan.scaling, forward)
-        scales2 = stage_scales(plan.row_radices, plan.scaling, forward)
-        # Pass 1: x viewed (n1, n2, b); FFT over axis 0 with batch n2*b.
-        re1, im1 = engine(
-            re.reshape(n1, n2 * b), im.reshape(n1, n2 * b),
-            plan.col_radices, scales1, sign,
-        )
-        # Four-step twiddle W[k1, n2] = exp(sign*2*pi*i*k1*n2/n), reconstructed
-        # at runtime from the rank-separated P/Q tables (dft.py) so the jitted
-        # program embeds O(n1*sqrt(n2))-sized constants, not a data-sized one.
-        tile = n2 if n2 <= 256 else 128
-        p_re, p_im, q_re, q_im = dft.four_step_twiddle_factors(
-            n1, n2, tile, dtype=np.float32, sign=sign
-        )
-        p_re, p_im = jnp.asarray(p_re)[:, :, None], jnp.asarray(p_im)[:, :, None]
-        q_re, q_im = jnp.asarray(q_re)[:, None, :], jnp.asarray(q_im)[:, None, :]
-        w_re = (p_re * q_re - p_im * q_im).reshape(n1, n2)[:, :, None]
-        w_im = (p_re * q_im + p_im * q_re).reshape(n1, n2)[:, :, None]
-        re1 = re1.reshape(n1, n2, b)
-        im1 = im1.reshape(n1, n2, b)
-        re1, im1 = (re1 * w_re - im1 * w_im, re1 * w_im + im1 * w_re)
-        # Emulate HBM-boundary storage rounding between passes.
-        re1 = re1.astype(storage)
-        im1 = im1.astype(storage)
-        # Pass 2: FFT over axis 1 -> transform-major (n2, n1*b).
-        re2 = re1.transpose(1, 0, 2).reshape(n2, n1 * b)
-        im2 = im1.transpose(1, 0, 2).reshape(n2, n1 * b)
-        re2, im2 = engine(re2, im2, plan.row_radices, scales2, sign)
-        # Output index k = k2*n1 + k1: rows (k2, k1) already flatten correctly.
-        return re2.reshape(n, b), im2.reshape(n, b)
-
     if strategy is Strategy.XLA:
         x = re.astype(jnp.float32) + 1j * im.astype(jnp.float32)
         x = jnp.fft.fft(x, axis=0) if forward else jnp.fft.ifft(x, axis=0)
@@ -266,6 +232,19 @@ def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
     # absorbed into block specs (ops/four_step_pallas.fft2_fused) — the
     # config-3 "row-column with fused transpose" path.
     axes_norm = tuple(a % re.ndim for a in axes)
+    if (
+        len(axes_norm) >= 3
+        and re.ndim >= 2
+        and {re.ndim - 2, re.ndim - 1} <= set(axes_norm)
+        and not plans
+    ):
+        # N-D: peel the trailing two axes through the fused 2D path, then
+        # handle the remaining axes with the generic loop.
+        re, im = _fftn_split(
+            re, im, (re.ndim - 2, re.ndim - 1), plans, forward, plan_kwargs
+        )
+        rest = tuple(a for a in axes_norm if a < re.ndim - 2)
+        return _fftn_split(re, im, rest, plans, forward, plan_kwargs)
     if (
         len(axes_norm) == 2
         and re.ndim >= 2

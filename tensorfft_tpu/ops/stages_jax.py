@@ -92,6 +92,7 @@ def apply_stages(
     algorithm: str = "bf16",
     karatsuba: bool = False,
     tables=None,
+    return_intermediates: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the full stage sequence on transform-major (N, B) planes.
 
@@ -113,6 +114,7 @@ def apply_stages(
 
     re = re.astype(compute_dtype)
     im = im.astype(compute_dtype)
+    intermediates = []
     k = 1
     m = n
     for j, radix in enumerate(radices):
@@ -137,4 +139,11 @@ def apply_stages(
         k *= radix
         re = re.reshape(k, m * b)
         im = im.reshape(k, m * b)
+        if return_intermediates:
+            intermediates.append((re.reshape(n, b), im.reshape(n, b)))
+    if return_intermediates:
+        # Post-stage state dumps: the analog of the reference's debug kernel
+        # TensorFFT4096_2 + IntermediateData.cu probe (inspect each stage's
+        # output rather than only the end-to-end result).
+        return intermediates
     return re.reshape(n, b), im.reshape(n, b)
