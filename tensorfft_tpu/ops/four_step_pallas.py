@@ -113,8 +113,13 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True):
         blocks = p_ref.shape[2]
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (blocks, 1), 0) == it
                   ).astype(jnp.float32)
-        p_re = jax.lax.dot(p_ref[0], onehot, preferred_element_type=jnp.float32)
-        p_im = jax.lax.dot(p_ref[1], onehot, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the default matmul truncates operands to bf16 on
+        # TPU, which would round the twiddle phases to ~4e-3 and dominate the
+        # whole transform's error (caught by the accuracy-vs-N curve).
+        p_re = jax.lax.dot(p_ref[0], onehot, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        p_im = jax.lax.dot(p_ref[1], onehot, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         w_re = p_re * q_ref[0] - p_im * q_ref[1]
         w_im = p_re * q_ref[1] + p_im * q_ref[0]
 
