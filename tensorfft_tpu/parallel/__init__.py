@@ -16,4 +16,5 @@ from tensorfft_tpu.parallel.batch import batch_sharded_fft, make_batch_mesh
 from tensorfft_tpu.parallel.pencil import (
     pencil_fft_1d,
     pencil_fft_3d,
+    pencil_fft_3d_2d_mesh,
 )

@@ -31,7 +31,7 @@ from tensorfft_tpu.fft import stage_scales
 from tensorfft_tpu.ops import stages_jax
 from tensorfft_tpu.plan import Precision, balanced_radices, exact_log2
 
-__all__ = ["pencil_fft_1d", "pencil_fft_3d"]
+__all__ = ["pencil_fft_1d", "pencil_fft_3d", "pencil_fft_3d_2d_mesh"]
 
 
 def _engine(re, im, radices, scales, sign, algorithm):
@@ -210,5 +210,87 @@ def pencil_fft_3d(
         mesh=mesh,
         in_specs=(P(axis_name, None, None), P(axis_name, None, None)),
         out_specs=(P(None, None, axis_name), P(None, None, axis_name)),
+    )
+    return jax.jit(fn)(re, im)
+
+
+def pencil_fft_3d_2d_mesh(
+    re,
+    im,
+    mesh: Mesh,
+    axis_names: Tuple[str, str] = ("py", "pz"),
+    scaling: str = "forward",
+    forward: bool = True,
+    precision: str = "bfloat16",
+) -> Tuple[jax.Array, jax.Array]:
+    """True pencil-decomposed 3D FFT over a 2D device mesh (py x pz).
+
+    The v5p-16-class decomposition (a 1D mesh can only slab): the volume is
+    split into x-pencils — local (nx, ny/py, nz/pz) — and each transpose is a
+    tiled all_to_all over ONE mesh axis, so communication stays inside mesh
+    rows/columns (ICI neighbors on a torus):
+
+        FFT x  ->  all_to_all(py): x<->y  ->  FFT y
+               ->  all_to_all(pz): y<->z  ->  FFT z
+
+    Output (kx, ky, kz) sharded (py, pz, None).  Total forward scale
+    1/(nx*ny*nz) under 'forward' scaling.
+    """
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    nx, ny, nz = re.shape
+    ax_y, ax_z = axis_names
+    py = mesh.shape[ax_y]
+    pz = mesh.shape[ax_z]
+    if ny % py or nx % py or nz % pz or ny % pz:
+        raise ValueError(
+            f"(nx, ny, nz)=({nx},{ny},{nz}) must be divisible by mesh "
+            f"({py},{pz}) on the exchanged axes"
+        )
+    sign = dft.FORWARD if forward else dft.INVERSE
+    algorithm = Precision(precision).dot_algorithm
+
+    def axis_fft(a_re, a_im, length, batch):
+        radices = balanced_radices(length)
+        scales = stage_scales(radices, scaling, forward)
+        return _engine(a_re.reshape(length, batch), a_im.reshape(length, batch),
+                       radices, scales, sign, algorithm)
+
+    def shard_fn(re_l, im_l):
+        nyl, nzl = ny // py, nz // pz
+        # FFT along x (full locally): transform-major (nx, nyl*nzl).
+        a_re, a_im = axis_fft(re_l, im_l, nx, nyl * nzl)
+        a_re = a_re.reshape(nx, nyl, nzl)
+        a_im = a_im.reshape(nx, nyl, nzl)
+        # Transpose x<->y within py groups: (nx, nyl, nzl) -> (nx/py, ny, nzl).
+        a_re = jax.lax.all_to_all(a_re, ax_y, split_axis=0, concat_axis=1, tiled=True)
+        a_im = jax.lax.all_to_all(a_im, ax_y, split_axis=0, concat_axis=1, tiled=True)
+        nxl = nx // py
+        # FFT along y: (ny, nxl*nzl).
+        a_re = jnp.moveaxis(a_re, 1, 0)
+        a_im = jnp.moveaxis(a_im, 1, 0)
+        a_re, a_im = axis_fft(a_re, a_im, ny, nxl * nzl)
+        a_re = a_re.reshape(ny, nxl, nzl)
+        a_im = a_im.reshape(ny, nxl, nzl)
+        # Transpose y<->z within pz groups: (ny, nxl, nzl) -> (ny/pz, nxl, nz).
+        a_re = jax.lax.all_to_all(a_re, ax_z, split_axis=0, concat_axis=2, tiled=True)
+        a_im = jax.lax.all_to_all(a_im, ax_z, split_axis=0, concat_axis=2, tiled=True)
+        nyl2 = ny // pz
+        # FFT along z: (nz, nyl2*nxl).
+        a_re = jnp.moveaxis(a_re, 2, 0)
+        a_im = jnp.moveaxis(a_im, 2, 0)
+        a_re, a_im = axis_fft(a_re, a_im, nz, nyl2 * nxl)
+        # state (kz, ky_l2, kx_l) -> local (kx_l, ky_l2, kz)
+        a_re = a_re.reshape(nz, nyl2, nxl).transpose(2, 1, 0)
+        a_im = a_im.reshape(nz, nyl2, nxl).transpose(2, 1, 0)
+        return a_re, a_im
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, ax_y, ax_z), P(None, ax_y, ax_z)),
+        out_specs=(P(ax_y, ax_z, None), P(ax_y, ax_z, None)),
     )
     return jax.jit(fn)(re, im)

@@ -72,3 +72,27 @@ def test_pencil_3d_matches_oracle(mesh8):
 def test_pencil_1d_rejects_bad_split(mesh8):
     with pytest.raises(ValueError):
         pencil_fft_1d(np.ones(256), np.ones(256), mesh8, n1=4)  # 4 % 8 != 0
+
+
+def test_pencil_3d_2d_mesh():
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("py", "pz"))
+    from tensorfft_tpu.parallel import pencil_fft_3d_2d_mesh
+
+    nx, ny, nz = 16, 32, 16
+    rng = np.random.default_rng(7)
+    re = rng.standard_normal((nx, ny, nz))
+    im = rng.standard_normal((nx, ny, nz))
+    o_re, o_im = pencil_fft_3d_2d_mesh(re, im, mesh, precision="float32")
+    want = np.fft.fftn(re + 1j * im) / (nx * ny * nz)
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_pencil_3d_2d_mesh_bad_divisibility():
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("py", "pz"))
+    from tensorfft_tpu.parallel import pencil_fft_3d_2d_mesh
+
+    with pytest.raises(ValueError):
+        pencil_fft_3d_2d_mesh(np.ones((16, 6, 16)), np.ones((16, 6, 16)), mesh)
