@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensorfft_tpu import dft
-from tensorfft_tpu.plan import FFTPlan, Precision, Strategy, create_plan
+from tensorfft_tpu.plan import FFTPlan, Strategy, create_plan
 from tensorfft_tpu.ops import stages_jax
 
 __all__ = [

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tensorfft_tpu.plan import FFTPlan, Precision
+from tensorfft_tpu.plan import FFTPlan
 
 __all__ = [
     "to_device_split",

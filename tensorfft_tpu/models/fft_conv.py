@@ -7,10 +7,7 @@ pair (config 4).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
-import numpy as np
 
 from tensorfft_tpu.fft import fftn_split, ifftn_split
 from tensorfft_tpu.plan import create_plan

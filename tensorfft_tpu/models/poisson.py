@@ -8,9 +8,6 @@ the mean mode, inverse 3D FFT.
 """
 from __future__ import annotations
 
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh

@@ -22,7 +22,6 @@ round trip (ComputeFFT.h:89-120): for N = 2^24 that is 5 round trips vs 2.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

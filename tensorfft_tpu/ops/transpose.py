@@ -9,7 +9,7 @@ algorithms (e.g. DIF variants) that want an explicit reorder.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -18,13 +18,12 @@ XLA maps onto ICI.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tensorfft_tpu import dft
 from tensorfft_tpu.fft import stage_scales

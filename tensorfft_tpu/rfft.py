@@ -15,9 +15,8 @@ frequency bins (NumPy rfft convention).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -9,8 +9,7 @@ UnitTest.cu:8-16).
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

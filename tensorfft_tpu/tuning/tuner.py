@@ -17,7 +17,6 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from tensorfft_tpu.plan import (
-    Strategy,
     balanced_radices,
     create_plan,
     default_four_step_split,
