@@ -260,6 +260,7 @@ def four_step_fft(
             jax.ShapeDtypeStruct((b, n1, n2), im.dtype),
         ),
         interpret=interpret,
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -366,6 +367,7 @@ def fft2_fused(
             jax.ShapeDtypeStruct((b, h, w), im.dtype),
         ),
         interpret=interpret,
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -393,6 +395,7 @@ def fft2_fused(
             jax.ShapeDtypeStruct((b, h, w), im.dtype),
         ),
         interpret=interpret,
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

