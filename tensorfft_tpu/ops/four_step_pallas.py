@@ -38,7 +38,7 @@ from tensorfft_tpu.ops.fused_pallas import (
     block_dft_tables,
 )
 
-__all__ = ["four_step_fft", "fft2_fused"]
+__all__ = ["four_step_fft", "fft2_fused", "fused_fft_batch_major"]
 
 
 def _stage_loop(state, table_refs, radices, algorithm, n, t, ti=0):
@@ -402,3 +402,75 @@ def fft2_fused(
     )(mid_re, mid_im, *tables2)
 
     return out_re, out_im
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radices", "scales", "sign", "algorithm", "interpret"),
+)
+def fused_fft_batch_major(
+    re,
+    im,
+    *,
+    radices: Tuple[int, ...],
+    scales: Tuple[float, ...],
+    sign: int = dft.FORWARD,
+    algorithm: str = "bf16",
+    interpret: bool | None = None,
+):
+    """Whole-transform FFT on batch-major (B, N) planes in ONE Pallas pass.
+
+    The batch-major counterpart of fused_pallas.fused_fft: instead of the
+    caller transposing to transform-major (two extra XLA passes over HBM),
+    each program reads a (bt, N) row block, transposes once in VMEM, runs all
+    stages, transposes back, and stores in place (the fft2 row kernel with a
+    trivial column count).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, n = re.shape
+    row_tile = min(128, b) if b % min(128, b) == 0 else 1
+    # largest power-of-two divisor of b, capped at 128
+    rt = 1
+    while rt * 2 <= 128 and b % (rt * 2) == 0:
+        rt *= 2
+    row_tile = rt
+
+    tables = _tables_arrays(radices, scales, sign, algorithm)
+    in_spec = pl.BlockSpec(
+        (row_tile, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM
+    )
+    table_specs = [
+        pl.BlockSpec(a.shape, lambda ib, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables
+    ]
+
+    def kernel(*refs):
+        re_ref, im_ref = refs[0], refs[1]
+        out_re_ref, out_im_ref = refs[-2], refs[-1]
+        table_refs = refs[2:-2]
+        state = jnp.stack([
+            re_ref[:].astype(jnp.float32).T,  # (n, row_tile)
+            im_ref[:].astype(jnp.float32).T,
+        ])
+        state, _ = _stage_loop(state, table_refs, radices, algorithm, n, row_tile)
+        state = state.reshape(2, n, row_tile)
+        out_re_ref[:] = state[0].T.astype(out_re_ref.dtype)
+        out_im_ref[:] = state[1].T.astype(out_im_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // row_tile,),
+        in_specs=[in_spec, in_spec] + table_specs,
+        out_specs=(in_spec, in_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n), re.dtype),
+            jax.ShapeDtypeStruct((b, n), im.dtype),
+        ),
+        interpret=interpret,
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(re, im, *tables)

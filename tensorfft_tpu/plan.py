@@ -176,10 +176,13 @@ def optimal_radices(n: int) -> Tuple[int, ...]:
 
 
 def default_four_step_split(n: int, max_fused: int) -> Tuple[int, int]:
-    """Split n = n1 * n2 with both factors <= max_fused, as balanced as possible.
+    """Split n = n1 * n2 with both factors <= max_fused.
 
     n1 is the column (first-pass) length, n2 the row (second-pass) length.
-    Balanced splits minimize the larger fused working set.
+    Tuned on v5e: UNBALANCED splits with large n2 win decisively for large N
+    (e.g. N=2^16: (128, 512) measures 3x the balanced (256, 256)) because a
+    big n2 gives pass 1 wide lane panels and pass 2 long rows; below 2^16 the
+    balanced split is best.  The autotuner cache refines this per length.
     """
     p = exact_log2(n)
     pf = exact_log2(max_fused)
@@ -188,9 +191,13 @@ def default_four_step_split(n: int, max_fused: int) -> Tuple[int, int]:
             f"fft_length {n} too large for a two-pass four-step with "
             f"max_fused_length {max_fused}"
         )
-    p1 = p // 2
+    if p <= 15:
+        p1 = p // 2
+    else:
+        p2 = min(pf, p - 7)
+        p1 = p - p2
     p2 = p - p1
-    assert p2 <= pf
+    assert p2 <= pf and p1 <= pf
     return (1 << p1, 1 << p2)
 
 
@@ -288,7 +295,9 @@ def create_plan(
 
     ``tuning`` is a dict as produced by :mod:`tensorfft_tpu.tuning` (the analog
     of the reference's TunerResults.dat-driven overload, Plan.h:197-255); any
-    key present overrides the computed default.
+    key present overrides the computed default.  Pass ``tuning="auto"`` to
+    look the current (fft_length, precision, platform) up in the persistent
+    tuner cache (no-op if untuned).
     """
     if not is_power_of_2(fft_length) or fft_length < 2:
         raise ValueError(
@@ -296,6 +305,15 @@ def create_plan(
         )
     precision = Precision(precision)
     strategy = Strategy(strategy)
+
+    if tuning == "auto":
+        import jax
+
+        from tensorfft_tpu.tuning import TunerCache
+
+        tuning = TunerCache().get(
+            fft_length, precision.value, jax.devices()[0].platform
+        )
 
     tuning = dict(tuning or {})
     if "radices" in tuning and radices is None:

@@ -84,3 +84,27 @@ def test_full_api_fused_and_four_step():
         )
         assert d.average < 1e-5, f"N={n}: {d}"
         assert plan.resolve_strategy().value == ("fused" if n <= 4096 else "four_step")
+
+
+def test_fused_batch_major_matches_oracle():
+    import jax.numpy as jnp
+
+    from tensorfft_tpu.fft import stage_scales
+    from tensorfft_tpu.ops.four_step_pallas import fused_fft_batch_major
+    from tensorfft_tpu.plan import optimal_radices
+
+    rng = np.random.default_rng(0)
+    for b, n in ((7, 512), (64, 1024)):
+        re = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+        rad = optimal_radices(n)
+        sc = stage_scales(rad, "forward", True)
+        o = fused_fft_batch_major(
+            re, im, radices=rad, scales=sc, sign=-1, algorithm="bf16x3",
+            interpret=True,
+        )
+        want = np.fft.fft(
+            np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64), axis=1
+        ) / n
+        got = np.asarray(o[0], np.float64) + 1j * np.asarray(o[1], np.float64)
+        assert np.abs(got - want).max() < 1e-5
