@@ -224,6 +224,7 @@ def fused_fft(
         input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * sum(4 * max(2 * r, 128) ** 2 * (n // r) for r in radices)

@@ -1,0 +1,74 @@
+"""Infrastructure-level checks: bench smoke, driver entry points, twiddle
+table accuracy (TwiddleTest.cu analog), device specs."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_smoke_emits_json():
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--smoke"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "batched_1d_fft_throughput"
+    assert rec["value"] > 0
+    assert "vs_baseline" in rec and rec["unit"] == "GFLOP/s"
+
+
+def test_graft_entry_compiles():
+    import jax
+
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == (256, 4096)
+
+
+def test_twiddle_table_accuracy():
+    """TwiddleTest.cu analog: the reference compared cos/cosf/hcos twiddle
+    accuracy on device (TwiddleTest.cu:9-125).  Here: the fp32-rounded tables
+    must be within 1 ulp of the fp64 values, and the bf16 block matrices
+    within bf16 resolution."""
+    from tensorfft_tpu import dft
+
+    re64, im64 = dft._dft_matrix_f64(64, -1)
+    re32, im32 = dft.dft_matrix(64, dtype=np.float32)
+    assert np.abs(re32.astype(np.float64) - re64).max() < 6e-8
+    assert np.abs(im32.astype(np.float64) - im64).max() < 6e-8
+    w32 = dft.stage_twiddle(64, 512, dtype=np.float32)
+    w64 = dft._stage_twiddle_f64(64, 512, -1)
+    assert np.abs(w32[0].astype(np.float64) - w64[0]).max() < 6e-8
+
+
+def test_device_spec_and_roofline():
+    from tensorfft_tpu.utils import device_spec, fft_roofline_seconds
+
+    spec = device_spec()
+    assert spec.platform in ("cpu", "tpu")
+    t = fft_roofline_seconds(4096, 4096, (64, 64), 2)
+    assert t > 0
+    # MXU-bound for huge radix vs HBM-bound for tiny ones
+    t_small = fft_roofline_seconds(4096, 4096, (2,) * 12, 2)
+    assert t_small >= t or spec.platform == "cpu"
+
+
+def test_plan_auto_tuning_lookup():
+    import tensorfft_tpu as tfft
+
+    # On CPU there is no cache entry: "auto" must degrade to defaults.
+    plan = tfft.create_plan(4096, tuning="auto")
+    assert plan.fft_length == 4096
