@@ -212,10 +212,11 @@ def four_step_fft(
     assert n1 % k1_tile == 0
 
     def batch_tile(panel_elems: int) -> int:
-        # Enough batch elements per program to keep the block around 256K
-        # elements (mid-size N would otherwise drown in grid/DMA overhead);
-        # must divide b, so take the largest power of two that does.
-        target = max(1, (1 << 18) // max(panel_elems, 1))
+        # Enough batch elements per program to keep the block around 512K
+        # elements (mid-size N would otherwise drown in grid/DMA overhead;
+        # measured +10-20% over 256K targets); must divide b, so take the
+        # largest power of two that does.
+        target = max(1, (1 << 19) // max(panel_elems, 1))
         bt = 1
         while bt * 2 <= target and b % (bt * 2) == 0:
             bt *= 2
@@ -336,7 +337,7 @@ def fft2_fused(
     assert h % kh_tile == 0
 
     def batch_tile(panel_elems: int) -> int:
-        target = max(1, (1 << 18) // max(panel_elems, 1))
+        target = max(1, (1 << 19) // max(panel_elems, 1))
         bt = 1
         while bt * 2 <= target and b % (bt * 2) == 0:
             bt *= 2
