@@ -50,7 +50,9 @@ def main():
     re = jnp.asarray(rng.standard_normal((batch, n)), storage)
     im = jnp.asarray(rng.standard_normal((batch, n)), storage)
 
-    plan = tfft.create_plan(n, precision=args.precision)
+    # "auto" consults the committed autotuner cache (reference-workflow parity:
+    # its bench reads TunerResults.dat back through CreatePlan, Plan.h:197-255).
+    plan = tfft.create_plan(n, precision=args.precision, tuning="auto")
     plan_base = tfft.create_plan(n, precision=args.precision, strategy="staged")
 
     fused = lambda a, b: _fft_split_jit(a, b, plan, True)

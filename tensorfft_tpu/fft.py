@@ -54,9 +54,13 @@ def stage_scales(radices, scaling: str, forward: bool) -> Tuple[float, ...]:
 
 
 def _block_engine(plan: FFTPlan):
-    """Return fn(re, im, radices, scales, sign) -> (re, im) on (N, B) planes."""
+    """Return fn(re, im, radices, scales, sign) -> (re, im) on (N, B) planes.
+
+    (FOUR_STEP never reaches here — _fft_split_core routes it to the fused
+    batch-major four-step kernels before the transform-major path.)
+    """
     strategy = plan.resolve_strategy()
-    if strategy in (Strategy.FUSED, Strategy.FOUR_STEP):
+    if strategy is Strategy.FUSED:
         from tensorfft_tpu.ops import fused_pallas
 
         def engine(re, im, radices, scales, sign):

@@ -157,9 +157,11 @@ _STAGE_COST = {
 def optimal_radices(n: int) -> Tuple[int, ...]:
     """Factor n = 2^p minimizing total padded MXU MACs of block-complex stages.
 
-    Dynamic program over partitions of p with per-stage cost _STAGE_COST.
-    Radix 64 (block matrix 128x128 — the exact MXU tile) is the sweet spot;
-    e.g. 4096 -> (64, 64), 256 -> (256,), 2^20 -> (64, 128, 128).
+    Dynamic program over partitions of p with per-stage cost _STAGE_COST;
+    radix 64 (block matrix 128x128 — the exact MXU tile) is the sweet spot.
+    Robust interleaved-median measurements show plausible alternatives (e.g.
+    (32,128) vs (64,64) at N=4096) within +-5% of each other, so the DP
+    default stands; per-deployment differences belong in the tuner cache.
     """
     p = exact_log2(n)
     if p == 0:

@@ -136,21 +136,35 @@ def chain_measure(
             acc = acc + jnp.sum(flat[:8].astype(jnp.float32))
         return acc
 
-    def best(k):
-        float(chain(k, *args))  # compile + warm
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter_ns()
-            float(chain(k, *args))
-            ts.append(time.perf_counter_ns() - t0)
-        return min(ts), ts
+    def timed(k):
+        t0 = time.perf_counter_ns()
+        float(chain(k, *args))
+        return time.perf_counter_ns() - t0
 
-    t_low, _ = best(iters_low)
-    t_high, ts_high = best(iters_high)
-    per_iter = (t_high - t_low) / (iters_high - iters_low)
-    sigma = float(np.std(ts_high) / (iters_high - iters_low))
+    # compile + warm both chain lengths
+    float(chain(iters_low, *args))
+    float(chain(iters_high, *args))
+
+    # Interleave low/high runs so slow drift of the backend (shared relay,
+    # thermal state) cancels within each adjacent pair; report the median of
+    # the per-pair slopes and retry pairs whose slope is non-positive (pure
+    # noise).  A single (min-low, min-high) slope was observed to swing by
+    # +-50% and even go negative under relay load.
+    slopes = []
+    attempts = 0
+    while len(slopes) < reps and attempts < 3 * reps:
+        attempts += 1
+        t_low = timed(iters_low)
+        t_high = timed(iters_high)
+        slope = (t_high - t_low) / (iters_high - iters_low)
+        if slope > 0:
+            slopes.append(slope)
+    if not slopes:
+        slopes = [float("nan")]
+    per_iter = float(np.median(slopes))
+    sigma = float(np.std(slopes))
     return BenchResult(
-        average_time_ns=float(per_iter),
+        average_time_ns=per_iter,
         std_deviation_ns=sigma,
-        samples=reps,
+        samples=len(slopes),
     )

@@ -72,3 +72,28 @@ def test_plan_auto_tuning_lookup():
     # On CPU there is no cache entry: "auto" must degrade to defaults.
     plan = tfft.create_plan(4096, tuning="auto")
     assert plan.fft_length == 4096
+
+
+def test_profile_trace_graceful():
+    import jax.numpy as jnp
+
+    from tensorfft_tpu.testing.profiling import annotate, profile_trace
+
+    with profile_trace("/tmp/tfft_test_trace", label="unit"):
+        x = jnp.ones(8) + 1
+        x.block_until_ready()
+
+    @annotate("unit-fn")
+    def f(v):
+        return v * 2
+
+    assert float(f(jnp.float32(2.0))) == 4.0
+
+
+def test_write_log(tmp_path):
+    from tensorfft_tpu.testing.io import write_log
+
+    p = tmp_path / "log.txt"
+    write_log(p, ["a", "b\n"])
+    write_log(p, ["c"])
+    assert p.read_text() == "a\nb\nc\n"
