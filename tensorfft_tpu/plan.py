@@ -197,7 +197,9 @@ def default_four_step_split(n: int, max_fused: int) -> Tuple[int, int]:
     if p <= 15:
         p1 = p // 2
     else:
-        p2 = min(pf, p - 7)
+        # n2 capped at 4096: larger row panels measured slower at 2^20
+        # ((256,4096): 1941 GFLOP/s vs (128,8192): 1857).
+        p2 = min(pf, 12, p - 7)
         p1 = p - p2
     p2 = p - p1
     assert p2 <= pf and p1 <= pf
