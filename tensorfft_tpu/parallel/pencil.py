@@ -33,6 +33,50 @@ from tensorfft_tpu.plan import Precision, balanced_radices, exact_log2
 __all__ = ["pencil_fft_1d", "pencil_fft_3d", "pencil_fft_3d_2d_mesh"]
 
 
+def _pipelined(states, *stage_fns):
+    """Software-pipeline ``stage_fns`` over independent chunk ``states``.
+
+    Traces stage s of chunk i immediately after stage s+1 of chunk i-1
+    (skewed order), so every collective stage is adjacent in program order
+    to compute stages of *other* chunks that do not depend on it.  XLA's
+    latency-hiding scheduler then overlaps the async collective (ICI) with
+    that compute (SURVEY hard part 4: "overlap of ICI communication with
+    per-pencil compute is where scaling is won or lost").  Chunks are
+    semantically independent, so results are identical to the monolithic
+    path; only the schedule changes.
+    """
+    states = list(states)
+    c = len(states)
+    s = len(stage_fns)
+    for t in range(c + s - 1):
+        for stage in range(min(s - 1, t), -1, -1):
+            i = t - stage
+            if 0 <= i < c:
+                states[i] = stage_fns[stage](states[i])
+    return states
+
+
+def _chunk_reorder_concat(chunks, p, axis):
+    """Undo per-chunk all_to_all interleaving on the concat axis.
+
+    Chunking the concat-source axis into C pieces makes each chunk's tiled
+    all_to_all deliver sh[axis] = p*csz entries ordered (device, j) within
+    the chunk, while the global order over the whole axis is
+    (device, chunk, j).  Stack the chunk results, lift the device digit
+    above the chunk digit, and flatten: global = r*(C*csz) + c*csz + j.
+    """
+    c = len(chunks)
+    if c == 1:
+        return chunks[0]
+    sh = chunks[0].shape
+    axis = axis % len(sh)
+    csz = sh[axis] // p
+    x = jnp.stack(chunks, axis=0)  # (C, *sh)
+    x = x.reshape((c,) + sh[:axis] + (p, csz) + sh[axis + 1:])
+    x = jnp.moveaxis(x, 0, axis + 1)  # (*sh[:axis], p, C, csz, *rest)
+    return x.reshape(sh[:axis] + (p * c * csz,) + sh[axis + 1:])
+
+
 def _engine(re, im, radices, scales, sign, algorithm):
     """Per-shard transform-major FFT engine.
 
@@ -59,6 +103,7 @@ def pencil_fft_1d(
     scaling: str = "forward",
     forward: bool = True,
     precision: str = "bfloat16",
+    overlap: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """One large 1D FFT distributed over the mesh (distributed four-step).
 
@@ -66,6 +111,13 @@ def pencil_fft_1d(
     mesh size and n1 divisible by the mesh size.  Returns (..., N) in natural
     frequency order (values exactly ordered; device placement is sharded over
     the k1 digit of k).
+
+    ``overlap`` > 1 software-pipelines the global transpose: the data is cut
+    into ``overlap`` independent chunks (along the batch axis when divisible,
+    else along the local j2 columns) and each chunk's all_to_all is
+    interleaved with other chunks' local FFT compute, hiding ICI latency
+    behind the MXU (the comm/compute-overlap technique the single-device
+    reference had no use for).  Results are identical for any value.
     """
     re = jnp.asarray(re)
     im = jnp.asarray(im)
@@ -84,10 +136,18 @@ def pencil_fft_1d(
     rad2 = balanced_radices(n2)
     sc1 = stage_scales(rad1, scaling, forward)
     sc2 = stage_scales(rad2, scaling, forward)
+    n2p = n2 // p
+    n1p = n1 // p
+
+    c = max(1, int(overlap))
+    chunk_batch = b % c == 0 and b >= c
+    if not chunk_batch and n2p % c:
+        raise ValueError(
+            f"overlap={c} must divide the batch ({b}) or local columns ({n2p})"
+        )
 
     # Twiddle tables, rank-separated so each shard slices its own column:
     # W[k1, q*n2p + j2l] = pcol[k1, q] * q_tab[k1, j2l].
-    n2p = n2 // p
     k1g = np.arange(n1, dtype=np.float64)[:, None]
     ph_p = (2.0 * np.pi * sign / n) * (k1g * (np.arange(p, dtype=np.float64)[None, :] * n2p))
     ph_q = (2.0 * np.pi * sign / n) * (k1g * np.arange(n2p, dtype=np.float64)[None, :])
@@ -97,37 +157,71 @@ def pencil_fft_1d(
     def shard_fn(re_l, im_l, pcol_l, qtab_l):
         # re_l: (b, n1, n2p) — the j2 axis is sharded.
         q = jax.lax.axis_index(axis_name)
-        # Pass 1: FFT over j1 (transform-major (n1, b*n2p)).
-        a_re = jnp.moveaxis(re_l, 1, 0).reshape(n1, b * n2p)
-        a_im = jnp.moveaxis(im_l, 1, 0).reshape(n1, b * n2p)
-        a_re, a_im = _engine(a_re, a_im, rad1, sc1, sign, algorithm)
-        a_re = a_re.reshape(n1, b, n2p)
-        a_im = a_im.reshape(n1, b, n2p)
-        # Twiddle: W = pcol[:, q, None] * qtab  (complex), shapes (n1, n2p).
         pr = jax.lax.dynamic_slice_in_dim(pcol_l[0], q, 1, axis=1)
         pi = jax.lax.dynamic_slice_in_dim(pcol_l[1], q, 1, axis=1)
-        w_re = pr * qtab_l[0] - pi * qtab_l[1]
-        w_im = pr * qtab_l[1] + pi * qtab_l[0]
-        w_re = w_re[:, None, :]
-        w_im = w_im[:, None, :]
-        a_re, a_im = (
-            a_re * w_re - a_im * w_im,
-            a_re * w_im + a_im * w_re,
-        )
-        # Global transpose: shard axis moves from j2 to k1.
-        a_re = jax.lax.all_to_all(a_re, axis_name, split_axis=0, concat_axis=2, tiled=True)
-        a_im = jax.lax.all_to_all(a_im, axis_name, split_axis=0, concat_axis=2, tiled=True)
-        # a: (n1/p, b, n2) with full j2.  Pass 2: FFT over j2.
-        n1p = n1 // p
-        a_re = jnp.moveaxis(a_re, 2, 0).reshape(n2, n1p * b)
-        a_im = jnp.moveaxis(a_im, 2, 0).reshape(n2, n1p * b)
-        a_re, a_im = _engine(a_re, a_im, rad2, sc2, sign, algorithm)
-        # (k2, k1l, b) -> (b, k2, k1l): global (b, n2, n1) is natural k order.
-        a_re = a_re.reshape(n2, n1p, b).transpose(2, 0, 1)
-        a_im = a_im.reshape(n2, n1p, b).transpose(2, 0, 1)
-        return a_re, a_im
+        w_re_full = pr * qtab_l[0] - pi * qtab_l[1]   # (n1, n2p)
+        w_im_full = pr * qtab_l[1] + pi * qtab_l[0]
 
-    from jax.experimental.shard_map import shard_map
+        def pass1_twiddle(state):
+            # state: ((bb, n1, cc) re/im, cols slice into n2p)
+            re_c, im_c, cols = state
+            bb, _, cc = re_c.shape
+            a_re = jnp.moveaxis(re_c, 1, 0).reshape(n1, bb * cc)
+            a_im = jnp.moveaxis(im_c, 1, 0).reshape(n1, bb * cc)
+            a_re, a_im = _engine(a_re, a_im, rad1, sc1, sign, algorithm)
+            a_re = a_re.reshape(n1, bb, cc)
+            a_im = a_im.reshape(n1, bb, cc)
+            w_re = w_re_full[:, None, cols]
+            w_im = w_im_full[:, None, cols]
+            return (a_re * w_re - a_im * w_im, a_re * w_im + a_im * w_re)
+
+        def transpose_a2a(state):
+            # Global transpose: shard axis moves from j2 to k1.
+            a_re, a_im = state
+            a_re = jax.lax.all_to_all(a_re, axis_name, split_axis=0,
+                                      concat_axis=2, tiled=True)
+            a_im = jax.lax.all_to_all(a_im, axis_name, split_axis=0,
+                                      concat_axis=2, tiled=True)
+            return a_re, a_im
+
+        def pass2(state):
+            # state: (n1p, bb, n2) with full j2.  FFT over j2.
+            a_re, a_im = state
+            bb = a_re.shape[1]
+            a_re = jnp.moveaxis(a_re, 2, 0).reshape(n2, n1p * bb)
+            a_im = jnp.moveaxis(a_im, 2, 0).reshape(n2, n1p * bb)
+            a_re, a_im = _engine(a_re, a_im, rad2, sc2, sign, algorithm)
+            # (k2, k1l, bb) -> (bb, k2, k1l): global (b, n2, n1) is natural k.
+            a_re = a_re.reshape(n2, n1p, bb).transpose(2, 0, 1)
+            a_im = a_im.reshape(n2, n1p, bb).transpose(2, 0, 1)
+            return a_re, a_im
+
+        full = slice(0, n2p)
+        if chunk_batch:
+            bc = b // c
+            chunks = [
+                (re_l[i * bc:(i + 1) * bc], im_l[i * bc:(i + 1) * bc], full)
+                for i in range(c)
+            ]
+            outs = _pipelined(chunks, pass1_twiddle, transpose_a2a, pass2)
+            a_re = jnp.concatenate([o[0] for o in outs], axis=0)
+            a_im = jnp.concatenate([o[1] for o in outs], axis=0)
+            return a_re, a_im
+        # Column chunking (b not divisible; e.g. one giant FFT, b = 1):
+        # pipeline pass 1 + transpose per column chunk, then one pass 2.
+        csz = n2p // c
+        chunks = [
+            (re_l[:, :, i * csz:(i + 1) * csz],
+             im_l[:, :, i * csz:(i + 1) * csz],
+             slice(i * csz, (i + 1) * csz))
+            for i in range(c)
+        ]
+        outs = _pipelined(chunks, pass1_twiddle, transpose_a2a)
+        a_re = _chunk_reorder_concat([o[0] for o in outs], p, axis=2)
+        a_im = _chunk_reorder_concat([o[1] for o in outs], p, axis=2)
+        return pass2((a_re, a_im))
+
+    from jax import shard_map
 
     in_spec = P(None, None, axis_name)
     tab_spec = P(None, None, None)
@@ -137,6 +231,7 @@ def pencil_fft_1d(
         mesh=mesh,
         in_specs=(in_spec, in_spec, tab_spec, tab_spec),
         out_specs=(out_spec, out_spec),
+        check_vma=False,
     )
     re3 = re.reshape(b, n1, n2)
     im3 = im.reshape(b, n1, n2)
@@ -155,12 +250,17 @@ def pencil_fft_3d(
     scaling: str = "forward",
     forward: bool = True,
     precision: str = "bfloat16",
+    overlap: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """3D FFT of a (nx, ny, nz) volume, slab-sharded over nx.
 
     Local FFTs along z then y, one all_to_all moving the shard from x to z,
     local FFTs along x.  Output (kx, ky, kz) with kz sharded.  Total forward
     scale 1/(nx*ny*nz) under 'forward' scaling.
+
+    ``overlap`` > 1 (must divide ny) pipelines the global transpose in ky
+    chunks: chunk i's all_to_all rides ICI while chunk i-1's x-axis FFTs run
+    on the MXU.  Results are identical for any value.
     """
     re = jnp.asarray(re)
     im = jnp.asarray(im)
@@ -168,6 +268,9 @@ def pencil_fft_3d(
     p = mesh.shape[axis_name]
     if nx % p or nz % p:
         raise ValueError(f"nx={nx} and nz={nz} must be divisible by mesh size {p}")
+    c = max(1, int(overlap))
+    if ny % c:
+        raise ValueError(f"overlap={c} must divide ny={ny}")
     sign = dft.FORWARD if forward else dft.INVERSE
     algorithm = Precision(precision).dot_algorithm
 
@@ -179,6 +282,7 @@ def pencil_fft_3d(
 
     def shard_fn(re_l, im_l):
         nxp = nx // p
+        nzp = nz // p
         # FFT along z: transform-major (nz, nxp*ny).
         a_re = jnp.moveaxis(re_l, 2, 0)
         a_im = jnp.moveaxis(im_l, 2, 0)
@@ -191,24 +295,45 @@ def pencil_fft_3d(
         a_re, a_im = axis_fft(a_re, a_im, ny, nz * nxp)
         a_re = a_re.reshape(ny, nz, nxp)  # (ky, kz, x_local)
         a_im = a_im.reshape(ny, nz, nxp)
-        # Global transpose: shard moves x -> z.
-        a_re = jax.lax.all_to_all(a_re, axis_name, split_axis=1, concat_axis=2, tiled=True)
-        a_im = jax.lax.all_to_all(a_im, axis_name, split_axis=1, concat_axis=2, tiled=True)
-        # (ky, nz/p, nx): FFT along x.
-        nzp = nz // p
-        a_re = jnp.moveaxis(a_re, 2, 0)
-        a_im = jnp.moveaxis(a_im, 2, 0)
-        a_re, a_im = axis_fft(a_re, a_im, nx, ny * nzp)
-        # (kx, ky, kz_local)
-        return a_re.reshape(nx, ny, nzp), a_im.reshape(nx, ny, nzp)
 
-    from jax.experimental.shard_map import shard_map
+        def transpose_a2a(state):
+            # Global transpose: shard moves x -> z.
+            s_re, s_im = state
+            s_re = jax.lax.all_to_all(s_re, axis_name, split_axis=1,
+                                      concat_axis=2, tiled=True)
+            s_im = jax.lax.all_to_all(s_im, axis_name, split_axis=1,
+                                      concat_axis=2, tiled=True)
+            return s_re, s_im
+
+        def x_fft(state):
+            # (kyc, nz/p, nx): FFT along x.
+            s_re, s_im = state
+            kyc = s_re.shape[0]
+            s_re = jnp.moveaxis(s_re, 2, 0)
+            s_im = jnp.moveaxis(s_im, 2, 0)
+            s_re, s_im = axis_fft(s_re, s_im, nx, kyc * nzp)
+            return s_re.reshape(nx, kyc, nzp), s_im.reshape(nx, kyc, nzp)
+
+        kyc = ny // c
+        chunks = [
+            (a_re[i * kyc:(i + 1) * kyc], a_im[i * kyc:(i + 1) * kyc])
+            for i in range(c)
+        ]
+        outs = _pipelined(chunks, transpose_a2a, x_fft)
+        # (kx, ky, kz_local)
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=1),
+            jnp.concatenate([o[1] for o in outs], axis=1),
+        )
+
+    from jax import shard_map
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis_name, None, None), P(axis_name, None, None)),
         out_specs=(P(None, None, axis_name), P(None, None, axis_name)),
+        check_vma=False,
     )
     return jax.jit(fn)(re, im)
 
@@ -221,6 +346,7 @@ def pencil_fft_3d_2d_mesh(
     scaling: str = "forward",
     forward: bool = True,
     precision: str = "bfloat16",
+    overlap: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """True pencil-decomposed 3D FFT over a 2D device mesh (py x pz).
 
@@ -234,6 +360,12 @@ def pencil_fft_3d_2d_mesh(
 
     Output (kx, ky, kz) sharded (py, pz, None).  Total forward scale
     1/(nx*ny*nz) under 'forward' scaling.
+
+    ``overlap`` > 1 (must divide nz/pz) pipelines BOTH global transposes:
+    each local-z chunk flows x-FFT -> all_to_all(py) -> y-FFT ->
+    all_to_all(pz) independently, so while one chunk is on the wire the
+    neighbors' FFT stages occupy the MXU (SURVEY hard part 4).  The z-axis
+    FFT needs every chunk and runs once at the end.  Results identical.
     """
     re = jnp.asarray(re)
     im = jnp.asarray(im)
@@ -246,6 +378,9 @@ def pencil_fft_3d_2d_mesh(
             f"(nx, ny, nz)=({nx},{ny},{nz}) must be divisible by mesh "
             f"({py},{pz}) on the exchanged axes"
         )
+    c = max(1, int(overlap))
+    if (nz // pz) % c:
+        raise ValueError(f"overlap={c} must divide the local z extent {nz // pz}")
     sign = dft.FORWARD if forward else dft.INVERSE
     algorithm = Precision(precision).dot_algorithm
 
@@ -257,24 +392,50 @@ def pencil_fft_3d_2d_mesh(
 
     def shard_fn(re_l, im_l):
         nyl, nzl = ny // py, nz // pz
-        # FFT along x (full locally): transform-major (nx, nyl*nzl).
-        a_re, a_im = axis_fft(re_l, im_l, nx, nyl * nzl)
-        a_re = a_re.reshape(nx, nyl, nzl)
-        a_im = a_im.reshape(nx, nyl, nzl)
-        # Transpose x<->y within py groups: (nx, nyl, nzl) -> (nx/py, ny, nzl).
-        a_re = jax.lax.all_to_all(a_re, ax_y, split_axis=0, concat_axis=1, tiled=True)
-        a_im = jax.lax.all_to_all(a_im, ax_y, split_axis=0, concat_axis=1, tiled=True)
         nxl = nx // py
-        # FFT along y: (ny, nxl*nzl).
-        a_re = jnp.moveaxis(a_re, 1, 0)
-        a_im = jnp.moveaxis(a_im, 1, 0)
-        a_re, a_im = axis_fft(a_re, a_im, ny, nxl * nzl)
-        a_re = a_re.reshape(ny, nxl, nzl)
-        a_im = a_im.reshape(ny, nxl, nzl)
-        # Transpose y<->z within pz groups: (ny, nxl, nzl) -> (ny/pz, nxl, nz).
-        a_re = jax.lax.all_to_all(a_re, ax_z, split_axis=0, concat_axis=2, tiled=True)
-        a_im = jax.lax.all_to_all(a_im, ax_z, split_axis=0, concat_axis=2, tiled=True)
         nyl2 = ny // pz
+        csz = nzl // c
+
+        def x_fft(state):
+            # (nx, nyl, csz): FFT along x (full locally).
+            s_re, s_im = state
+            s_re, s_im = axis_fft(s_re, s_im, nx, nyl * csz)
+            return s_re.reshape(nx, nyl, csz), s_im.reshape(nx, nyl, csz)
+
+        def a2a_y(state):
+            # Transpose x<->y within py groups: -> (nx/py, ny, csz).
+            s_re, s_im = state
+            s_re = jax.lax.all_to_all(s_re, ax_y, split_axis=0,
+                                      concat_axis=1, tiled=True)
+            s_im = jax.lax.all_to_all(s_im, ax_y, split_axis=0,
+                                      concat_axis=1, tiled=True)
+            return s_re, s_im
+
+        def y_fft(state):
+            # FFT along y: (ny, nxl*csz).
+            s_re, s_im = state
+            s_re = jnp.moveaxis(s_re, 1, 0)
+            s_im = jnp.moveaxis(s_im, 1, 0)
+            s_re, s_im = axis_fft(s_re, s_im, ny, nxl * csz)
+            return s_re.reshape(ny, nxl, csz), s_im.reshape(ny, nxl, csz)
+
+        def a2a_z(state):
+            # Transpose y<->z within pz groups: -> (ny/pz, nxl, pz*csz).
+            s_re, s_im = state
+            s_re = jax.lax.all_to_all(s_re, ax_z, split_axis=0,
+                                      concat_axis=2, tiled=True)
+            s_im = jax.lax.all_to_all(s_im, ax_z, split_axis=0,
+                                      concat_axis=2, tiled=True)
+            return s_re, s_im
+
+        chunks = [
+            (re_l[:, :, i * csz:(i + 1) * csz],
+             im_l[:, :, i * csz:(i + 1) * csz])
+            for i in range(c)
+        ]
+        outs = _pipelined(chunks, x_fft, a2a_y, y_fft, a2a_z)
+        a_re = _chunk_reorder_concat([o[0] for o in outs], pz, axis=2)
+        a_im = _chunk_reorder_concat([o[1] for o in outs], pz, axis=2)
         # FFT along z: (nz, nyl2*nxl).
         a_re = jnp.moveaxis(a_re, 2, 0)
         a_im = jnp.moveaxis(a_im, 2, 0)
@@ -284,12 +445,13 @@ def pencil_fft_3d_2d_mesh(
         a_im = a_im.reshape(nz, nyl2, nxl).transpose(2, 1, 0)
         return a_re, a_im
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(None, ax_y, ax_z), P(None, ax_y, ax_z)),
         out_specs=(P(ax_y, ax_z, None), P(ax_y, ax_z, None)),
+        check_vma=False,
     )
     return jax.jit(fn)(re, im)

@@ -96,3 +96,79 @@ def test_pencil_3d_2d_mesh_bad_divisibility():
 
     with pytest.raises(ValueError):
         pencil_fft_3d_2d_mesh(np.ones((16, 6, 16)), np.ones((16, 6, 16)), mesh)
+
+
+# --- Comm/compute-overlap (software-pipelined) variants -----------------
+# Chunked scheduling must not change the math: compare against the
+# monolithic path at tight tolerance AND against the fp64 oracle.
+
+@pytest.mark.parametrize("overlap", [2, 4])
+def test_pencil_1d_overlap_batched_matches(mesh8, overlap):
+    n, batch = 1 << 12, 4
+    rng = np.random.default_rng(11)
+    re = rng.standard_normal((batch, n))
+    im = rng.standard_normal((batch, n))
+    base = pencil_fft_1d(re, im, mesh8, precision="float32")
+    ovl = pencil_fft_1d(re, im, mesh8, precision="float32", overlap=overlap)
+    np.testing.assert_allclose(np.asarray(ovl[0]), np.asarray(base[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ovl[1]), np.asarray(base[1]),
+                               atol=1e-6)
+    want = np.fft.fft(re + 1j * im, axis=-1) / n
+    got = np.asarray(ovl[0], np.float64) + 1j * np.asarray(ovl[1], np.float64)
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_pencil_1d_overlap_single_fft_column_chunks(mesh8):
+    # batch=1 cannot chunk the batch axis -> column chunking + reorder path.
+    n = 1 << 14
+    rng = np.random.default_rng(12)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    o_re, o_im = pencil_fft_1d(re, im, mesh8, precision="float32", overlap=4)
+    want = np.fft.fft(re + 1j * im) / n
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_pencil_3d_overlap_matches(mesh8):
+    nx, ny, nz = 32, 16, 64
+    rng = np.random.default_rng(13)
+    re = rng.standard_normal((nx, ny, nz))
+    im = rng.standard_normal((nx, ny, nz))
+    base = pencil_fft_3d(re, im, mesh8, precision="float32")
+    ovl = pencil_fft_3d(re, im, mesh8, precision="float32", overlap=4)
+    np.testing.assert_allclose(np.asarray(ovl[0]), np.asarray(base[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ovl[1]), np.asarray(base[1]),
+                               atol=1e-6)
+    want = np.fft.fftn(re + 1j * im) / (nx * ny * nz)
+    got = np.asarray(ovl[0], np.float64) + 1j * np.asarray(ovl[1], np.float64)
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_pencil_3d_2d_mesh_overlap_matches():
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("py", "pz"))
+    from tensorfft_tpu.parallel import pencil_fft_3d_2d_mesh
+
+    nx, ny, nz = 16, 32, 16
+    rng = np.random.default_rng(14)
+    re = rng.standard_normal((nx, ny, nz))
+    im = rng.standard_normal((nx, ny, nz))
+    base = pencil_fft_3d_2d_mesh(re, im, mesh, precision="float32")
+    ovl = pencil_fft_3d_2d_mesh(re, im, mesh, precision="float32", overlap=2)
+    np.testing.assert_allclose(np.asarray(ovl[0]), np.asarray(base[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ovl[1]), np.asarray(base[1]),
+                               atol=1e-6)
+    want = np.fft.fftn(re + 1j * im) / (nx * ny * nz)
+    got = np.asarray(ovl[0], np.float64) + 1j * np.asarray(ovl[1], np.float64)
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_pencil_1d_overlap_rejects_indivisible(mesh8):
+    # b=3 not divisible by 2 and n2p=8 not divisible by 3 -> error for c=3
+    with pytest.raises(ValueError):
+        pencil_fft_1d(np.ones((1, 256)), np.ones((1, 256)), mesh8,
+                      n1=16, overlap=3)
