@@ -33,60 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 from tensorfft_tpu import dft
 from tensorfft_tpu.ops import dots
 from tensorfft_tpu.ops.fused_pallas import (
-    _MAX_KLOOP,
     _interpret_default,
-    block_dft_tables,
+    stage_loop,
+    stage_table_arrays,
 )
 
 __all__ = ["four_step_fft", "fft2_fused", "fused_fft_batch_major"]
 
 
-def _stage_loop(state, table_refs, radices, algorithm, n, t, ti=0):
-    """Run the whole stage sequence on a stacked (2, n, t) fp32 state.
-
-    Shared by both passes; same math as fused_fft_kernel_body but starting
-    from an in-VMEM stacked state instead of input refs.
-    """
-    k = 1
-    m = n
-    for j, radix in enumerate(radices):
-        m //= radix
-        bd = table_refs[ti][:]
-        ti += 1
-        if j == 0:
-            z2 = state.reshape(2 * radix, m * t)
-            out = dots.dot(bd, z2, algorithm)
-            state = out.reshape(2, radix, m * t)
-        elif k <= _MAX_KLOOP:
-            w_re = table_refs[ti][:]
-            w_im = table_refs[ti + 1][:]
-            ti += 2
-            zv = state.reshape(2, k, radix, m * t)
-            outs = []
-            for kk in range(k):
-                sr = zv[0, kk]
-                si = zv[1, kk]
-                wr = w_re[:, kk][:, None]
-                wi = w_im[:, kk][:, None]
-                zk = jnp.concatenate([sr * wr - si * wi, sr * wi + si * wr], axis=0)
-                outs.append(dots.dot(bd, zk, algorithm).reshape(2, radix, m * t))
-            out = jnp.stack(outs, axis=2)
-            state = out.reshape(2, radix * k, m * t)
-        else:
-            w_re = table_refs[ti][:].T[None, :, :, None]
-            w_im = table_refs[ti + 1][:].T[None, :, :, None]
-            ti += 2
-            zv = state.reshape(2, k, radix, m * t)
-            tw = jnp.stack([zv[0] * w_re[0] - zv[1] * w_im[0],
-                            zv[0] * w_im[0] + zv[1] * w_re[0]])
-            z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
-            out = dots.dot(bd, z2, algorithm)
-            state = out.reshape(2, radix * k, m * t)
-        k *= radix
-    return state, ti
-
-
-def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True):
+def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
+                grouped=False):
     """Pass K1: (bt, n1, T) block -> bt panels of n1-point FFTs
     (+ four-step twiddle).
 
@@ -126,7 +82,8 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True):
         state = jnp.stack(
             [re_ref[i].astype(jnp.float32), im_ref[i].astype(jnp.float32)]
         )
-        state, _ = _stage_loop(state, table_refs, radices, algorithm, n1, t)
+        state, _ = stage_loop(state, table_refs, radices, algorithm, n1, t,
+                              grouped=grouped)
         state = state.reshape(2, n1, t)
         if twiddle:
             o_re = state[0] * w_re - state[1] * w_im
@@ -137,7 +94,8 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True):
         out_im_ref[i] = o_im.astype(out_im_ref.dtype)
 
 
-def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True):
+def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
+                grouped=False):
     """Pass K2: transposed-read (bt, k1_tile, n2) block -> n2-point FFTs.
 
     transposed=True writes each (n2, k1_tile) result at the digit-swapped
@@ -153,7 +111,8 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True):
             re_ref[i].astype(jnp.float32).T,  # (n2, k1_tile)
             im_ref[i].astype(jnp.float32).T,
         ])
-        state, _ = _stage_loop(state, table_refs, radices, algorithm, n2, k1_tile)
+        state, _ = stage_loop(state, table_refs, radices, algorithm, n2,
+                              k1_tile, grouped=grouped)
         state = state.reshape(2, n2, k1_tile)
         if transposed:
             out_re_ref[i] = state[0].astype(out_re_ref.dtype)
@@ -163,23 +122,11 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True):
             out_im_ref[i] = state[1].T.astype(out_im_ref.dtype)
 
 
-def _tables_arrays(radices, scales, sign, algorithm):
-    d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
-    arrays = []
-    for j, (bd, w_re, w_im) in enumerate(
-        block_dft_tables(radices, scales, sign)
-    ):
-        arrays.append(jnp.asarray(bd, d_dtype))
-        if j > 0:
-            arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
-    return arrays
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
-        "lane_tile", "algorithm", "interpret",
+        "lane_tile", "algorithm", "interpret", "grouped",
     ),
 )
 def four_step_fft(
@@ -196,6 +143,7 @@ def four_step_fft(
     lane_tile: int = 128,
     algorithm: str = "bf16",
     interpret: bool | None = None,
+    grouped: bool = False,
 ):
     """Large-N FFT on batch-major (B, N) planes, N = n1*n2.
 
@@ -234,7 +182,7 @@ def four_step_fft(
     )
     p_tab = jnp.asarray(np.stack([p_re, p_im]))      # (2, n1, n2//t)
     q_tab = jnp.asarray(np.stack([q_re, q_im]))      # (2, n1, t)
-    tables1 = _tables_arrays(radices1, scales1, sign, algorithm)
+    tables1 = stage_table_arrays(radices1, scales1, sign, algorithm, grouped)
 
     data_spec1 = pl.BlockSpec(
         (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
@@ -250,7 +198,8 @@ def four_step_fft(
                      memory_space=pltpu.VMEM)
         for a in tables1
     ]
-    kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t, bt1)
+    kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t, bt1,
+                                      grouped=grouped)
     mid_re, mid_im = pl.pallas_call(
         kern1,
         grid=(b // bt1, n2 // t),
@@ -268,7 +217,7 @@ def four_step_fft(
     )(re3, im3, p_tab, q_tab, *tables1)
 
     # Pass K2.
-    tables2 = _tables_arrays(radices2, scales2, sign, algorithm)
+    tables2 = stage_table_arrays(radices2, scales2, sign, algorithm, grouped)
     in_spec2 = pl.BlockSpec(
         (bt2, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )
@@ -280,7 +229,8 @@ def four_step_fft(
                      memory_space=pltpu.VMEM)
         for a in tables2
     ]
-    kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile, bt2)
+    kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile,
+                                      bt2, grouped=grouped)
     out_re, out_im = pl.pallas_call(
         kern2,
         grid=(b // bt2, n1 // k1_tile),
@@ -303,7 +253,7 @@ def four_step_fft(
     jax.jit,
     static_argnames=(
         "radices1", "radices2", "scales1", "scales2", "sign", "lane_tile",
-        "algorithm", "interpret",
+        "algorithm", "interpret", "grouped",
     ),
 )
 def fft2_fused(
@@ -318,6 +268,7 @@ def fft2_fused(
     lane_tile: int = 128,
     algorithm: str = "bf16",
     interpret: bool | None = None,
+    grouped: bool = False,
 ):
     """2D FFT of (B, H, W) planes via the four-step kernels minus the twiddle.
 
@@ -346,7 +297,7 @@ def fft2_fused(
     bt1 = batch_tile(h * t)
     bt2 = batch_tile(kh_tile * w)
 
-    tables1 = _tables_arrays(radices1, scales1, sign, algorithm)
+    tables1 = stage_table_arrays(radices1, scales1, sign, algorithm, grouped)
     data_spec1 = pl.BlockSpec(
         (bt1, h, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
@@ -356,7 +307,7 @@ def fft2_fused(
         for a in tables1
     ]
     kern1 = lambda *refs: _col_kernel(
-        refs, radices1, algorithm, h, t, bt1, twiddle=False
+        refs, radices1, algorithm, h, t, bt1, twiddle=False, grouped=grouped
     )
     mid_re, mid_im = pl.pallas_call(
         kern1,
@@ -374,7 +325,7 @@ def fft2_fused(
         ),
     )(re, im, *tables1)
 
-    tables2 = _tables_arrays(radices2, scales2, sign, algorithm)
+    tables2 = stage_table_arrays(radices2, scales2, sign, algorithm, grouped)
     in_spec2 = pl.BlockSpec(
         (bt2, kh_tile, w), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )
@@ -384,7 +335,8 @@ def fft2_fused(
         for a in tables2
     ]
     kern2 = lambda *refs: _row_kernel(
-        refs, radices2, algorithm, w, kh_tile, bt2, transposed=False
+        refs, radices2, algorithm, w, kh_tile, bt2, transposed=False,
+        grouped=grouped
     )
     out_re, out_im = pl.pallas_call(
         kern2,
@@ -407,7 +359,8 @@ def fft2_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radices", "scales", "sign", "algorithm", "interpret"),
+    static_argnames=("radices", "scales", "sign", "algorithm", "interpret",
+                     "grouped"),
 )
 def fused_fft_batch_major(
     re,
@@ -418,6 +371,7 @@ def fused_fft_batch_major(
     sign: int = dft.FORWARD,
     algorithm: str = "bf16",
     interpret: bool | None = None,
+    grouped: bool = False,
 ):
     """Whole-transform FFT on batch-major (B, N) planes in ONE Pallas pass.
 
@@ -437,7 +391,7 @@ def fused_fft_batch_major(
         rt *= 2
     row_tile = rt
 
-    tables = _tables_arrays(radices, scales, sign, algorithm)
+    tables = stage_table_arrays(radices, scales, sign, algorithm, grouped)
     in_spec = pl.BlockSpec(
         (row_tile, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM
     )
@@ -455,7 +409,8 @@ def fused_fft_batch_major(
             re_ref[:].astype(jnp.float32).T,  # (n, row_tile)
             im_ref[:].astype(jnp.float32).T,
         ])
-        state, _ = _stage_loop(state, table_refs, radices, algorithm, n, row_tile)
+        state, _ = stage_loop(state, table_refs, radices, algorithm, n,
+                              row_tile, grouped=grouped)
         state = state.reshape(2, n, row_tile)
         out_re_ref[:] = state[0].T.astype(out_re_ref.dtype)
         out_im_ref[:] = state[1].T.astype(out_im_ref.dtype)

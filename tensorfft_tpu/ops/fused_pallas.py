@@ -81,50 +81,127 @@ def block_dft_tables(
 _MAX_KLOOP = 128
 
 
-def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str):
-    """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
+def _stage_kinds(radices, grouped: bool):
+    """Static per-stage dispatch shared by table builders and kernel bodies.
 
-    State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
-    fp32 on the VPU; stage matmuls under ``algorithm`` (ops/dots.py) with fp32
-    accumulation.
+    Yields (kind, radix, k, p): kind in {'first', 'grouped', 'kloop', 'big'},
+    k = sub-transforms accumulated before the stage, p = slices packed per
+    block-diagonal matmul (grouped only).
 
-    Stage structure per radix R (K = transforms built so far):
-      * K == 1 (first stage): Z = [re; im] read straight from the inputs —
-        a pure reshape, no twiddle, one block matmul.
-      * K <= _MAX_KLOOP: loop over the K sub-transform slices.  Each slice
-        (2, R, M*T) has its (2, R) rows ADJACENT, so the block matmul needs
-        no data movement; the twiddle column W[:, k] is applied per slice.
-        This replaces the Stockham sublane transpose, which Mosaic lowers
-        ~40% slower than K small matmuls (measured 745us vs 510us at
-        N=4096, B=4096).
-      * otherwise: twiddle on the unswapped view, one sublane swap, one
-        matmul (the transpose-based formulation).
+    'grouped' packs p = 128/(2R) sub-transform slices into ONE matmul with a
+    constant block-diagonal matrix: the MXU streams one input column per
+    cycle regardless of its height, so a (2R, 2R) @ (2R, C) matmul with
+    2R < 128 wastes (1 - 2R/128) of the array — packing cuts a radix-8
+    stage's MXU cycles 8x.  The stage twiddle (diagonal) and the output-row
+    reorder (a permutation) fold into the same constant matrix, eliminating
+    the per-slice VPU twiddle multiplies as a bonus.
     """
-    re_ref, im_ref = refs[0], refs[1]
-    out_re_ref, out_im_ref = refs[-2], refs[-1]
-    table_refs = refs[2:-2]
-
-    n, t = re_ref.shape
-    state = None  # lazily formed; stage 0 reads straight from the input refs
-
-    ti = 0
     k = 1
-    m = n
-    for j, radix in enumerate(radices):
-        m //= radix
-        bd = table_refs[ti][:]
-        ti += 1
-        if j == 0:
-            z2 = jnp.concatenate(
-                [re_ref[:].reshape(radix, m * t), im_ref[:].reshape(radix, m * t)],
-                axis=0,
+    for radix in radices:
+        p = max(1, 128 // (2 * radix))
+        p = min(p, k)
+        if k == 1:
+            yield ("first", radix, k, 1)
+        elif grouped and p >= 2 and k % p == 0 and (k // p) <= _MAX_KLOOP:
+            yield ("grouped", radix, k, p)
+        elif k <= _MAX_KLOOP:
+            yield ("kloop", radix, k, 1)
+        else:
+            yield ("big", radix, k, 1)
+        k *= radix
+
+
+@functools.lru_cache(maxsize=None)
+def _grouped_g_table(radix: int, k: int, p: int, scale: float, sign: int):
+    """(k//p, 2pR, 2pR) fp64->fp32 block-diagonal twiddle-folded stage matrices.
+
+    Group g packs slices kk = g*p .. g*p+p-1.  Input rows are ordered
+    (complex, kk, r) — exactly the contiguous layout of state[:, g*p:(g+1)*p]
+    — and output rows are PRE-PERMUTED to (complex, r_out, kk) so that
+    stacking groups along a new axis and flattening yields the next stage's
+    required row order r*K + kk with no data movement.
+    """
+    d_re, d_im = dft.dft_matrix(radix, dtype=np.float64, sign=sign, scale=scale)
+    d_cplx = d_re + 1j * d_im
+    w_re, w_im = dft.stage_twiddle(radix, k, dtype=np.float64, sign=sign)
+    w_cplx = w_re + 1j * w_im  # (R, K); column kk scales input digit r
+    pr = p * radix
+    out = np.zeros((k // p, 2 * pr, 2 * pr), dtype=np.float64)
+    r_ids = np.arange(radix)
+    for g in range(k // p):
+        for kk in range(p):
+            m = d_cplx * w_cplx[None, :, g * p + kk]  # M[r_o, r_i]
+            rows = r_ids * p + kk          # permuted out rows (r_o, kk)
+            cols = kk * radix + r_ids      # in cols (kk, r_i)
+            for co, ci, blk in ((0, 0, m.real), (0, 1, -m.imag),
+                                (1, 0, m.imag), (1, 1, m.real)):
+                out[g][np.ix_(co * pr + rows, ci * pr + cols)] = blk
+    return out.astype(np.float32)
+
+
+def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool):
+    """The jnp table operands for one kernel, in stage_loop consumption order.
+
+    Matmul operands (BD / grouped G) are pre-rounded to bf16 under the plain
+    'bf16' algorithm (split algorithms need the fp32 originals); twiddle
+    tables stay fp32 (VPU multiply).
+    """
+    d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    arrays = []
+    for (kind, radix, k, p), scale in zip(_stage_kinds(radices, grouped),
+                                          scales):
+        if kind == "grouped":
+            arrays.append(
+                jnp.asarray(_grouped_g_table(radix, k, p, float(scale), sign),
+                            d_dtype)
             )
+            continue
+        d_re, d_im = dft.dft_matrix(radix, dtype=np.float64, sign=sign,
+                                    scale=scale)
+        bd = np.block([[d_re, -d_im], [d_im, d_re]])
+        arrays.append(jnp.asarray(bd, d_dtype))
+        if kind != "first":
+            w_re, w_im = dft.stage_twiddle(radix, k, dtype=np.float32,
+                                           sign=sign)
+            arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
+    return arrays
+
+
+def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
+               grouped: bool = False):
+    """Run the whole stage sequence on a stacked (2, n, t) fp32 state.
+
+    The shared in-VMEM engine behind every kernel (whole-transform fused,
+    four-step passes, 2D row/column passes).  Dispatch per stage follows
+    _stage_kinds; see fused_fft_kernel_body for the math of each branch.
+    """
+    m = n
+    for kind, radix, k, p in _stage_kinds(radices, grouped):
+        m //= radix
+        if kind == "first":
+            bd = table_refs[ti][:]
+            ti += 1
+            z2 = state.reshape(2 * radix, m * t)
             out = dots.dot(bd, z2, algorithm)
             state = out.reshape(2, radix, m * t)
-        elif k <= _MAX_KLOOP:
-            w_re = table_refs[ti][:]
-            w_im = table_refs[ti + 1][:]
-            ti += 2
+        elif kind == "grouped":
+            g_tab = table_refs[ti][:]
+            ti += 1
+            zv = state.reshape(2, k, radix, m * t)
+            outs = []
+            for g in range(k // p):
+                zg = zv[:, g * p:(g + 1) * p].reshape(2 * p * radix, m * t)
+                outs.append(
+                    dots.dot(g_tab[g], zg, algorithm)
+                    .reshape(2, radix, p, m * t)
+                )
+            out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
+            state = out.reshape(2, radix * k, m * t)
+        elif kind == "kloop":
+            bd = table_refs[ti][:]
+            w_re = table_refs[ti + 1][:]
+            w_im = table_refs[ti + 2][:]
+            ti += 3
             zv = state.reshape(2, k, radix, m * t)
             outs = []
             for kk in range(k):
@@ -132,25 +209,60 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str):
                 si = zv[1, kk]
                 wr = w_re[:, kk][:, None]
                 wi = w_im[:, kk][:, None]
-                zk = jnp.concatenate([sr * wr - si * wi, sr * wi + si * wr], axis=0)
+                zk = jnp.concatenate(
+                    [sr * wr - si * wi, sr * wi + si * wr], axis=0
+                )
                 outs.append(
                     dots.dot(bd, zk, algorithm).reshape(2, radix, m * t)
                 )
             out = jnp.stack(outs, axis=2)  # (2, R, K, M*T)
             state = out.reshape(2, radix * k, m * t)
-        else:
-            w_re = table_refs[ti][:].T[None, :, :, None]  # (1, K, R, 1)
-            w_im = table_refs[ti + 1][:].T[None, :, :, None]
-            ti += 2
+        else:  # big
+            bd = table_refs[ti][:]
+            w_re = table_refs[ti + 1][:].T[None, :, :, None]  # (1, K, R, 1)
+            w_im = table_refs[ti + 2][:].T[None, :, :, None]
+            ti += 3
             zv = state.reshape(2, k, radix, m * t)
-            zr, zi = zv[0], zv[1]
-            tw = jnp.stack([zr * w_re[0] - zi * w_im[0],
-                            zr * w_im[0] + zi * w_re[0]])
+            tw = jnp.stack([zv[0] * w_re[0] - zv[1] * w_im[0],
+                            zv[0] * w_im[0] + zv[1] * w_re[0]])
             z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
             out = dots.dot(bd, z2, algorithm)
             state = out.reshape(2, radix * k, m * t)
-        k *= radix
+    return state, ti
 
+
+def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
+                          grouped: bool = False):
+    """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
+
+    State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
+    fp32 on the VPU (or are folded into grouped stage matrices); stage
+    matmuls under ``algorithm`` (ops/dots.py) with fp32 accumulation.
+
+    Stage structure per radix R (K = transforms built so far), _stage_kinds:
+      * 'first' (K == 1): Z = [re; im] — a pure reshape, no twiddle, one
+        block matmul.
+      * 'grouped' (2R <= 64): pack 128/(2R) slices per block-diagonal
+        matmul with twiddle and output reorder folded into the constant.
+      * 'kloop' (K <= _MAX_KLOOP): loop over the K sub-transform slices.
+        Each slice (2, R, M*T) has its (2, R) rows ADJACENT, so the block
+        matmul needs no data movement; the twiddle column W[:, k] is
+        applied per slice.  This replaces the Stockham sublane transpose,
+        which Mosaic lowers ~40% slower than K small matmuls (measured
+        745us vs 510us at N=4096, B=4096).
+      * 'big': twiddle on the unswapped view, one sublane swap, one
+        matmul (the transpose-based formulation).
+    """
+    re_ref, im_ref = refs[0], refs[1]
+    out_re_ref, out_im_ref = refs[-2], refs[-1]
+    table_refs = refs[2:-2]
+
+    n, t = re_ref.shape
+    state = jnp.stack(
+        [re_ref[:].astype(jnp.float32), im_ref[:].astype(jnp.float32)]
+    )
+    state, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
+                          grouped=grouped)
     out_re_ref[:] = state[0].reshape(n, t).astype(out_re_ref.dtype)
     out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
@@ -158,7 +270,7 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str):
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
-                     "interpret"),
+                     "interpret", "grouped"),
 )
 def fused_fft(
     re,
@@ -170,6 +282,7 @@ def fused_fft(
     lane_tile: int = 128,
     algorithm: str = "bf16",
     interpret: bool | None = None,
+    grouped: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
@@ -189,23 +302,18 @@ def fused_fft(
     b_padded = b + pad
     grid = (b_padded // t,)
 
-    # Block matrices are matmul operands: pre-round to bf16 for the plain-bf16
-    # algorithm (saves an in-kernel cast); twiddles stay fp32 (VPU multiply).
-    d_dtype = np.dtype("bfloat16") if algorithm == "bf16" else np.dtype("float32")
-    tables = block_dft_tables(radices, scales, sign, d_dtype=np.float32)
-    table_arrays = []
-    for j, (bd, w_re, w_im) in enumerate(tables):
-        table_arrays.append(jnp.asarray(bd, jnp.bfloat16 if algorithm == "bf16" else jnp.float32))
-        if j > 0:
-            table_arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
+    table_arrays = stage_table_arrays(radices, scales, sign, algorithm,
+                                      grouped)
 
     data_spec = pl.BlockSpec((n, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     table_specs = [
-        pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
         for a in table_arrays
     ]
 
-    kernel = lambda *refs: fused_fft_kernel_body(refs, radices, algorithm)
+    kernel = lambda *refs: fused_fft_kernel_body(refs, radices, algorithm,
+                                                 grouped)
 
     out_re, out_im = pl.pallas_call(
         kernel,

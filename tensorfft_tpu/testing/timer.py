@@ -168,3 +168,86 @@ def chain_measure(
         std_deviation_ns=sigma,
         samples=len(slopes),
     )
+
+
+def _make_chain_timer(step: Callable, args: Sequence):
+    """Compile a fori_loop chain of ``step`` and return timed(k) -> ns."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def chain(k, *a):
+        def body(_, carry):
+            return tuple(step(*carry))
+
+        out = jax.lax.fori_loop(0, k, body, tuple(a))
+        leaves = jax.tree_util.tree_leaves(out)
+        acc = jnp.float32(0)
+        for leaf in leaves:
+            flat = leaf.reshape(-1)
+            acc = acc + jnp.sum(flat[:8].astype(jnp.float32))
+        return acc
+
+    def timed(k):
+        t0 = time.perf_counter_ns()
+        float(chain(k, *args))
+        return time.perf_counter_ns() - t0
+
+    return timed
+
+
+def chain_compare(
+    step_a: Callable,
+    step_b: Callable,
+    args: Sequence,
+    iters_low: int = 4,
+    iters_high: int = 36,
+    reps: int = 7,
+) -> tuple:
+    """Decision-grade A/B comparison of two step functions on one input.
+
+    chain_measure's slope method cancels dispatch latency WITHIN one
+    measurement, but two separate chain_measure calls sit in different load
+    windows of the shared relay, which drifts by tens of percent — identical
+    code has measured 40% apart across windows.  Here every round times A and
+    B back-to-back (A_low, B_low, A_high, B_high), so the drift is common
+    mode within a round; the median over rounds is reported for each.
+
+    Returns (BenchResult_a, BenchResult_b).
+    """
+    timed_a = _make_chain_timer(step_a, args)
+    timed_b = _make_chain_timer(step_b, args)
+    # compile + warm all four chains
+    for timed in (timed_a, timed_b):
+        timed(iters_low)
+        timed(iters_high)
+
+    slopes_a: list = []
+    slopes_b: list = []
+    attempts = 0
+    span = iters_high - iters_low
+    while min(len(slopes_a), len(slopes_b)) < reps and attempts < 3 * reps:
+        attempts += 1
+        a_low = timed_a(iters_low)
+        b_low = timed_b(iters_low)
+        a_high = timed_a(iters_high)
+        b_high = timed_b(iters_high)
+        sa = (a_high - a_low) / span
+        sb = (b_high - b_low) / span
+        if sa > 0:
+            slopes_a.append(sa)
+        if sb > 0:
+            slopes_b.append(sb)
+
+    def result(slopes):
+        if not slopes:
+            slopes = [float("nan")]
+        return BenchResult(
+            average_time_ns=float(np.median(slopes)),
+            std_deviation_ns=float(np.std(slopes)),
+            samples=len(slopes),
+        )
+
+    return result(slopes_a), result(slopes_b)
