@@ -68,6 +68,7 @@ def _block_engine(plan: FFTPlan):
                 re, im, radices=radices, scales=scales, sign=sign,
                 lane_tile=plan.lane_tile,
                 algorithm=plan.precision.dot_algorithm,
+                grouped=plan.grouped,
             )
 
         return engine
@@ -136,6 +137,7 @@ def _fft_split_core(re, im, plan, forward):
             scales2=stage_scales(plan.row_radices, plan.scaling, forward),
             sign=sign, lane_tile=plan.lane_tile,
             algorithm=plan.precision.dot_algorithm,
+            grouped=plan.grouped,
         )
         return (
             out_re.reshape(*batch_shape, n),
@@ -280,6 +282,7 @@ def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
                 scales2=stage_scales(plan_w.radices, plan_w.scaling, forward),
                 sign=sign, lane_tile=plan_h.lane_tile,
                 algorithm=plan_h.precision.dot_algorithm,
+                grouped=plan_h.grouped,
             )
             return (
                 o_re.reshape(*batch_shape, h, w),

@@ -231,6 +231,11 @@ class FFTPlan:
     # (the reference convention, TensorRadix16.cu:132-136), 'none', 'ortho'.
     scaling: str = "forward"
     max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH
+    # Pack 128/(2R) sub-transform slices per block-diagonal stage matmul
+    # (twiddle folded into the constant).  Measured +-: helps radix-8/16
+    # tail stages ~3%, hurts radix-32 -- a per-length tuner decision, off by
+    # default (see CLAUDE.md perf log).
+    grouped: bool = False
 
     def __post_init__(self):
         if not is_power_of_2(self.fft_length):
@@ -321,10 +326,13 @@ def create_plan(
         )
 
     tuning = dict(tuning or {})
+    grouped = False
     if "radices" in tuning and radices is None:
         radices = tuple(tuning["radices"])
     if "lane_tile" in tuning and lane_tile is None:
         lane_tile = int(tuning["lane_tile"])
+    if "grouped" in tuning:
+        grouped = bool(tuning["grouped"])
     if "strategy" in tuning and strategy is Strategy.AUTO:
         strategy = Strategy(tuning["strategy"])
     if "max_fused_length" in tuning:
@@ -365,6 +373,7 @@ def create_plan(
         lane_tile=int(lane_tile),
         scaling=scaling,
         max_fused_length=int(max_fused_length),
+        grouped=grouped,
     )
 
 

@@ -42,6 +42,7 @@ class RunConfig:
     four_step_split: Optional[Tuple[int, int]] = None
     strategy: str = "auto"
     lane_tile: int = 128
+    grouped: bool = False
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -49,11 +50,18 @@ class RunConfig:
             t["radices"] = self.radices
         if self.four_step_split is not None:
             t["four_step_split"] = self.four_step_split
+        if self.grouped:
+            t["grouped"] = True
         return t
 
 
-def _radix_candidates(n: int, max_candidates: int = 4) -> List[Tuple[int, ...]]:
-    """Distinct plausible factorizations: MAC-optimal, balanced, neighbors."""
+def _radix_candidates(n: int, max_candidates: int = 6) -> List[Tuple[int, ...]]:
+    """Distinct plausible factorizations: MAC-optimal, balanced, neighbors.
+
+    Each factorization is tried ascending AND descending: descending puts
+    the small radices in later (twiddled) stages where the grouped
+    block-diagonal path can pack them.
+    """
     cands = [optimal_radices(n), balanced_radices(n)]
     p = exact_log2(n)
     # A couple of structured alternatives around the optimum.
@@ -61,6 +69,7 @@ def _radix_candidates(n: int, max_candidates: int = 4) -> List[Tuple[int, ...]]:
                  [7] * (p // 7) + ([p % 7] if p % 7 else [])):
         if logs and all(1 <= l <= 8 for l in logs):
             cands.append(tuple(sorted(1 << l for l in logs)))
+    cands += [tuple(reversed(c)) for c in list(cands)]
     out, seen = [], set()
     for c in cands:
         if c and c not in seen:
@@ -91,6 +100,11 @@ def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -
     return space
 
 
+def _groupable(radices) -> bool:
+    """Grouping only changes stages past the first whose radix is <= 32."""
+    return radices is not None and any(r <= 32 for r in radices[1:])
+
+
 def get_run_configs(space: dict) -> List[RunConfig]:
     """Cartesian product of the search space (BenchUtil.h:109-150 analog)."""
     configs = []
@@ -100,6 +114,11 @@ def get_run_configs(space: dict) -> List[RunConfig]:
         configs.append(
             RunConfig(radices=radices, strategy=strategy, four_step_split=split)
         )
+        if _groupable(radices):
+            configs.append(
+                RunConfig(radices=radices, strategy=strategy,
+                          four_step_split=split, grouped=True)
+            )
     return configs
 
 
