@@ -108,3 +108,24 @@ def test_fused_batch_major_matches_oracle():
         ) / n
         got = np.asarray(o[0], np.float64) + 1j * np.asarray(o[1], np.float64)
         assert np.abs(got - want).max() < 1e-5
+
+
+def test_grouped_tuning_through_public_api():
+    """A tuner entry with grouped=True must produce gate-grade results
+    through create_plan -> fft_split (the path tuner winners take)."""
+    import numpy as np
+    import tensorfft_tpu as tfft
+
+    n, batch = 512, 8
+    rng = np.random.default_rng(21)
+    re = rng.standard_normal((batch, n)).astype(np.float32)
+    im = rng.standard_normal((batch, n)).astype(np.float32)
+    plan = tfft.create_plan(
+        n, precision="float32",
+        tuning={"strategy": "fused", "radices": (32, 16), "grouped": True},
+    )
+    assert plan.grouped
+    o_re, o_im = tfft.fft_split(re, im, plan)
+    want = np.fft.fft(re + 1j * im, axis=-1) / n
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert np.abs(got - want).max() < 1e-5
