@@ -282,7 +282,7 @@ def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
                 scales2=stage_scales(plan_w.radices, plan_w.scaling, forward),
                 sign=sign, lane_tile=plan_h.lane_tile,
                 algorithm=plan_h.precision.dot_algorithm,
-                grouped=plan_h.grouped,
+                grouped=(plan_h.grouped, plan_w.grouped),
             )
             return (
                 o_re.reshape(*batch_shape, h, w),

@@ -268,7 +268,7 @@ def fft2_fused(
     lane_tile: int = 128,
     algorithm: str = "bf16",
     interpret: bool | None = None,
-    grouped: bool = False,
+    grouped: bool | Tuple[bool, bool] = False,
 ):
     """2D FFT of (B, H, W) planes via the four-step kernels minus the twiddle.
 
@@ -281,6 +281,9 @@ def fft2_fused(
     """
     if interpret is None:
         interpret = _interpret_default()
+    grouped1, grouped2 = (
+        grouped if isinstance(grouped, tuple) else (grouped, grouped)
+    )
     b, h, w = re.shape
     t = min(lane_tile, w)
     assert w % t == 0
@@ -297,7 +300,7 @@ def fft2_fused(
     bt1 = batch_tile(h * t)
     bt2 = batch_tile(kh_tile * w)
 
-    tables1 = stage_table_arrays(radices1, scales1, sign, algorithm, grouped)
+    tables1 = stage_table_arrays(radices1, scales1, sign, algorithm, grouped1)
     data_spec1 = pl.BlockSpec(
         (bt1, h, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
@@ -307,7 +310,7 @@ def fft2_fused(
         for a in tables1
     ]
     kern1 = lambda *refs: _col_kernel(
-        refs, radices1, algorithm, h, t, bt1, twiddle=False, grouped=grouped
+        refs, radices1, algorithm, h, t, bt1, twiddle=False, grouped=grouped1
     )
     mid_re, mid_im = pl.pallas_call(
         kern1,
@@ -325,7 +328,7 @@ def fft2_fused(
         ),
     )(re, im, *tables1)
 
-    tables2 = stage_table_arrays(radices2, scales2, sign, algorithm, grouped)
+    tables2 = stage_table_arrays(radices2, scales2, sign, algorithm, grouped2)
     in_spec2 = pl.BlockSpec(
         (bt2, kh_tile, w), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )
@@ -336,7 +339,7 @@ def fft2_fused(
     ]
     kern2 = lambda *refs: _row_kernel(
         refs, radices2, algorithm, w, kh_tile, bt2, transposed=False,
-        grouped=grouped
+        grouped=grouped2
     )
     out_re, out_im = pl.pallas_call(
         kern2,
@@ -384,7 +387,6 @@ def fused_fft_batch_major(
     if interpret is None:
         interpret = _interpret_default()
     b, n = re.shape
-    row_tile = min(128, b) if b % min(128, b) == 0 else 1
     # largest power-of-two divisor of b, capped at 128
     rt = 1
     while rt * 2 <= 128 and b % (rt * 2) == 0:

@@ -148,21 +148,18 @@ def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool):
     """
     d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
     arrays = []
-    for (kind, radix, k, p), scale in zip(_stage_kinds(radices, grouped),
-                                          scales):
+    plain = block_dft_tables(radices, scales, sign, d_dtype=np.float64)
+    for (kind, radix, k, p), (bd, w_re, w_im), scale in zip(
+        _stage_kinds(radices, grouped), plain, scales
+    ):
         if kind == "grouped":
             arrays.append(
                 jnp.asarray(_grouped_g_table(radix, k, p, float(scale), sign),
                             d_dtype)
             )
             continue
-        d_re, d_im = dft.dft_matrix(radix, dtype=np.float64, sign=sign,
-                                    scale=scale)
-        bd = np.block([[d_re, -d_im], [d_im, d_re]])
         arrays.append(jnp.asarray(bd, d_dtype))
         if kind != "first":
-            w_re, w_im = dft.stage_twiddle(radix, k, dtype=np.float32,
-                                           sign=sign)
             arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
     return arrays
 

@@ -118,32 +118,11 @@ def chain_measure(
     >100x).  Validated on v5e at 88% of bf16 matmul peak / 92% of HBM
     bandwidth against a plain jnp.dot / elementwise chain.
     """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def chain(k, *a):
-        def body(_, carry):
-            return tuple(step(*carry))
-
-        out = jax.lax.fori_loop(0, k, body, tuple(a))
-        leaves = jax.tree_util.tree_leaves(out)
-        acc = jnp.float32(0)
-        for leaf in leaves:
-            flat = leaf.reshape(-1)
-            acc = acc + jnp.sum(flat[:8].astype(jnp.float32))
-        return acc
-
-    def timed(k):
-        t0 = time.perf_counter_ns()
-        float(chain(k, *args))
-        return time.perf_counter_ns() - t0
+    timed = _make_chain_timer(step, args)
 
     # compile + warm both chain lengths
-    float(chain(iters_low, *args))
-    float(chain(iters_high, *args))
+    timed(iters_low)
+    timed(iters_high)
 
     # Interleave low/high runs so slow drift of the backend (shared relay,
     # thermal state) cancels within each adjacent pair; report the median of

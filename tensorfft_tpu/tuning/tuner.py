@@ -80,8 +80,12 @@ def _radix_candidates(n: int, max_candidates: int = 6) -> List[Tuple[int, ...]]:
 
 def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -> dict:
     """Tunable dimensions for one fft_length (BenchUtil.h:77-107 analog)."""
+    # lane_tile 256 doubles the fused working set; past n=4096 that is the
+    # VMEM scale where Mosaic compilation stalls (not raises -- a hang the
+    # sweep's try/except cannot skip), so it is only searched for small n.
+    lane_tiles = [128, 256] if n <= 4096 else [128]
     space = {"radices": _radix_candidates(n), "strategy": ["fused"],
-             "four_step_split": [None]}
+             "four_step_split": [None], "lane_tile": lane_tiles}
     if n > max_fused_length:
         p = exact_log2(n)
         pf = exact_log2(max_fused_length)
@@ -96,6 +100,7 @@ def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -
             "radices": [None],
             "strategy": ["four_step"],
             "four_step_split": splits,
+            "lane_tile": [128],
         }
     return space
 
@@ -108,16 +113,19 @@ def _groupable(radices) -> bool:
 def get_run_configs(space: dict) -> List[RunConfig]:
     """Cartesian product of the search space (BenchUtil.h:109-150 analog)."""
     configs = []
-    for radices, strategy, split in itertools.product(
-        space["radices"], space["strategy"], space["four_step_split"]
+    for radices, strategy, split, lane_tile in itertools.product(
+        space["radices"], space["strategy"], space["four_step_split"],
+        space.get("lane_tile", [128]),
     ):
         configs.append(
-            RunConfig(radices=radices, strategy=strategy, four_step_split=split)
+            RunConfig(radices=radices, strategy=strategy,
+                      four_step_split=split, lane_tile=lane_tile)
         )
         if _groupable(radices):
             configs.append(
                 RunConfig(radices=radices, strategy=strategy,
-                          four_step_split=split, grouped=True)
+                          four_step_split=split, lane_tile=lane_tile,
+                          grouped=True)
             )
     return configs
 
