@@ -162,6 +162,18 @@ def run_bench_over_search_space(
     return results
 
 
+def _config_from_entry(entry: dict) -> RunConfig:
+    """RunConfig of a persisted cache entry (the incumbent)."""
+    return RunConfig(
+        radices=tuple(entry["radices"]) if entry.get("radices") else None,
+        four_step_split=tuple(entry["four_step_split"])
+        if entry.get("four_step_split") else None,
+        strategy=entry.get("strategy", "auto"),
+        lane_tile=int(entry.get("lane_tile", 128)),
+        grouped=bool(entry.get("grouped", False)),
+    )
+
+
 def tune(
     n: int,
     batch: int = 1024,
@@ -172,16 +184,51 @@ def tune(
     """Tune one fft_length and (optionally) persist the winner to ``cache``.
 
     Returns the winning tuning dict (TunerSingleFFT.cu main-loop analog).
+    The incumbent cache entry (if any) is re-measured in the same sweep, and
+    a challenger only replaces it after winning a decision-grade interleaved
+    head-to-head (chain_compare) — sequential sweeps drift tens of percent
+    across a window, which otherwise crowns arbitrary configs.
     """
     import jax
 
     space = get_search_space(n)
     configs = get_run_configs(space)
+    incumbent_cfg = None
+    if cache is not None:
+        platform = jax.devices()[0].platform
+        entry = cache.get(n, precision, platform)
+        if entry:
+            incumbent_cfg = _config_from_entry(entry)
+            if incumbent_cfg not in configs:
+                configs.append(incumbent_cfg)
     results = run_bench_over_search_space(
         n, configs, batch=batch, precision=precision,
         measure_kwargs=measure_kwargs,
     )
     best_cfg, best_ns = min(results, key=lambda r: r[1])
+    if incumbent_cfg is not None and best_cfg != incumbent_cfg:
+        import jax.numpy as jnp
+
+        from tensorfft_tpu.fft import _fft_split_jit
+        from tensorfft_tpu.plan import Precision
+        from tensorfft_tpu.testing.timer import chain_compare
+
+        rng = np.random.default_rng(0)
+        storage = Precision(precision).storage_dtype
+        re = jnp.asarray(rng.standard_normal((batch, n)), storage)
+        im = jnp.asarray(rng.standard_normal((batch, n)), storage)
+        p_inc = create_plan(n, precision=precision,
+                            tuning=incumbent_cfg.as_tuning())
+        p_new = create_plan(n, precision=precision, tuning=best_cfg.as_tuning())
+        r_inc, r_new = chain_compare(
+            lambda a, b: _fft_split_jit(a, b, p_inc, True),
+            lambda a, b: _fft_split_jit(a, b, p_new, True),
+            (re, im),
+        )
+        if r_inc.average_time_ns <= r_new.average_time_ns:
+            best_cfg, best_ns = incumbent_cfg, r_inc.average_time_ns
+        else:
+            best_ns = r_new.average_time_ns
     entry = best_cfg.as_tuning()
     flops = 5.0 * n * float(np.log2(n)) * batch
     entry_out = dict(entry)
