@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tensorfft_tpu import dft
 from tensorfft_tpu.ops import dots
+from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
 from tensorfft_tpu.ops.fused_pallas import (
     _interpret_default,
     stage_loop,
@@ -152,12 +153,20 @@ def four_step_fft(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if re.ndim != 2 or re.shape != im.shape:
+        raise ValueError(
+            f"four_step_fft expects matching (B, N) planes, got re {re.shape} "
+            f"im {im.shape}"
+        )
     b, n = re.shape
-    assert n == n1 * n2
+    if n != n1 * n2:
+        raise ValueError(f"N={n} != n1*n2 = {n1}*{n2}")
     t = min(lane_tile, n2)
-    assert n2 % t == 0, (n2, t)
+    if n2 % t != 0:
+        raise ValueError(f"n2={n2} not divisible by lane tile {t}")
     k1_tile = min(128, n1)
-    assert n1 % k1_tile == 0
+    if n1 % k1_tile != 0:
+        raise ValueError(f"n1={n1} not divisible by k1 tile {k1_tile}")
 
     def batch_tile(panel_elems: int) -> int:
         # Enough batch elements per program to keep the block around 512K
@@ -212,7 +221,7 @@ def four_step_fft(
         interpret=interpret,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
         ),
     )(re3, im3, p_tab, q_tab, *tables1)
 
@@ -242,7 +251,7 @@ def four_step_fft(
         ),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
         ),
     )(mid_re, mid_im, *tables2)
 
@@ -284,11 +293,18 @@ def fft2_fused(
     grouped1, grouped2 = (
         grouped if isinstance(grouped, tuple) else (grouped, grouped)
     )
+    if re.ndim != 3 or re.shape != im.shape:
+        raise ValueError(
+            f"fft2_fused expects matching (B, H, W) planes, got re {re.shape} "
+            f"im {im.shape}"
+        )
     b, h, w = re.shape
     t = min(lane_tile, w)
-    assert w % t == 0
+    if w % t != 0:
+        raise ValueError(f"W={w} not divisible by lane tile {t}")
     kh_tile = min(128, h)
-    assert h % kh_tile == 0
+    if h % kh_tile != 0:
+        raise ValueError(f"H={h} not divisible by row tile {kh_tile}")
 
     def batch_tile(panel_elems: int) -> int:
         target = max(1, (1 << 19) // max(panel_elems, 1))
@@ -324,7 +340,7 @@ def fft2_fused(
         interpret=interpret,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
         ),
     )(re, im, *tables1)
 
@@ -353,7 +369,7 @@ def fft2_fused(
         interpret=interpret,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
         ),
     )(mid_re, mid_im, *tables2)
 
@@ -386,6 +402,11 @@ def fused_fft_batch_major(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if re.ndim != 2 or re.shape != im.shape:
+        raise ValueError(
+            f"fused_fft_batch_major expects matching (B, N) planes, got "
+            f"re {re.shape} im {im.shape}"
+        )
     b, n = re.shape
     # largest power-of-two divisor of b, capped at 128
     rt = 1
@@ -429,6 +450,6 @@ def fused_fft_batch_major(
         interpret=interpret,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
         ),
     )(re, im, *tables)

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tensorfft_tpu import dft
 from tensorfft_tpu.ops import dots
+from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
 
 __all__ = ["fused_fft", "fused_fft_kernel_body", "block_dft_tables"]
 
@@ -288,8 +289,14 @@ def fused_fft(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if re.ndim != 2 or re.shape != im.shape:
+        raise ValueError(
+            f"fused_fft expects matching (N, B) planes, got re {re.shape} "
+            f"im {im.shape}"
+        )
     n, b = re.shape
-    assert math.prod(radices) == n, (radices, n)
+    if math.prod(radices) != n:
+        raise ValueError(f"radices {radices} do not multiply to N={n}")
 
     t = int(lane_tile)
     pad = (-b) % t
@@ -328,7 +335,7 @@ def fused_fft(
         # pipeline they are dead temporaries.
         input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(

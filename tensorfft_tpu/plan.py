@@ -128,7 +128,7 @@ def exact_log2(x: int) -> int:
 
 
 def balanced_radices(n: int) -> Tuple[int, ...]:
-    """Factor n = 2^p into ceil(p/7) nearly-equal power-of-two radices <= 256.
+    """Factor n = 2^p into ceil(p/7) nearly-equal power-of-two radices <= 128.
 
     The reference factors N into one base-16 DFT + radix-16 steps + radix-2
     leftovers (Plan.h:99-100) because its tensor-core tile is 16x16.  On the
@@ -198,11 +198,16 @@ def default_four_step_split(n: int, max_fused: int) -> Tuple[int, int]:
         p1 = p // 2
     else:
         # n2 capped at 4096: larger row panels measured slower at 2^20
-        # ((256,4096): 1941 GFLOP/s vs (128,8192): 1857).
-        p2 = min(pf, 12, p - 7)
+        # ((256,4096): 1941 GFLOP/s vs (128,8192): 1857).  The max(p - pf, .)
+        # clamp keeps n1 <= max_fused when the cap would push it past the
+        # fusable range (p > 26 with the default pf = 14).
+        p2 = max(p - pf, min(pf, 12, p - 7))
         p1 = p - p2
     p2 = p - p1
-    assert p2 <= pf and p1 <= pf
+    if p2 > pf or p1 > pf:
+        raise ValueError(
+            f"no two-pass split of {n} fits max_fused_length {max_fused}"
+        )
     return (1 << p1, 1 << p2)
 
 
@@ -255,6 +260,25 @@ class FFTPlan:
             n1, n2 = self.four_step_split
             if n1 * n2 != self.fft_length:
                 raise ValueError("four_step_split does not factor fft_length")
+            if self.col_radices is not None and math.prod(self.col_radices) != n1:
+                raise ValueError(
+                    f"col_radices {self.col_radices} do not multiply to n1={n1}"
+                )
+            if self.row_radices is not None and math.prod(self.row_radices) != n2:
+                raise ValueError(
+                    f"row_radices {self.row_radices} do not multiply to n2={n2}"
+                )
+        if self.resolve_strategy() is Strategy.FOUR_STEP:
+            # A directly-constructed four-step plan must carry a complete
+            # decomposition; _fft_split_core unpacks these unconditionally.
+            if self.four_step_split is None:
+                raise ValueError(
+                    "strategy 'four_step' requires four_step_split=(n1, n2)"
+                )
+            if self.col_radices is None or self.row_radices is None:
+                raise ValueError(
+                    "strategy 'four_step' requires col_radices and row_radices"
+                )
 
     # -- reference-parity accessors -------------------------------------------------
     @property

@@ -155,7 +155,11 @@ def run_bench_over_search_space(
             plan = create_plan(n, precision=precision, tuning=cfg.as_tuning())
             fn = lambda a, b: _fft_split_jit(a, b, plan, True)
             r = chain_measure(fn, (re, im), **(measure_kwargs or {}))
-            results.append((cfg, r.average_time_ns))
+            t = r.average_time_ns
+            # chain_measure reports NaN when every slope is non-positive
+            # (noisy relay window); NaN never loses a min() comparison, so an
+            # unmeasured config could otherwise be crowned.
+            results.append((cfg, float("inf") if np.isnan(t) else t))
         except Exception as e:  # config invalid on this device — skip, like
             # the reference skipping PlanWorksOnDevice failures
             results.append((cfg, float("inf")))

@@ -11,7 +11,18 @@ from __future__ import annotations
 
 import dataclasses
 
-__all__ = ["DeviceSpec", "device_spec", "fft_roofline_seconds"]
+__all__ = [
+    "DeviceSpec",
+    "device_spec",
+    "fft_roofline_seconds",
+    "KERNEL_VMEM_LIMIT_BYTES",
+]
+
+# Scoped-VMEM limit every Pallas kernel in this library passes to
+# pltpu.CompilerParams(vmem_limit_bytes=...), raising the 16 MiB compiler
+# default.  plan_works_on_device budgets against this same constant (minus
+# a table/double-buffer reserve) so planning and kernels can't drift apart.
+KERNEL_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -24,17 +35,18 @@ class DeviceSpec:
     mxu_size: int = 128
 
 
-# vmem_bytes is the usable per-kernel budget, not the 16 MiB scoped-allocation
-# compiler default (which pltpu.CompilerParams(vmem_limit_bytes=...) raises):
-# measured on v5e, ~33 MiB working sets compile and run; 64 MiB is the
-# conservative planning budget.
+# vmem_bytes is the usable per-kernel budget: the scoped limit the kernels
+# actually request (KERNEL_VMEM_LIMIT_BYTES, not the 16 MiB compiler default)
+# minus a reserve for stage tables and Mosaic double-buffering.  Measured on
+# v5e: ~33 MiB data working sets compile and run under the 100 MiB limit.
+_VMEM_BUDGET = KERNEL_VMEM_LIMIT_BYTES - 36 * 2**20
 _KNOWN = {
     # kind-substring -> spec template
-    "v5 lite": DeviceSpec("tpu", "v5e", 197e12, 819e9, 64 * 2**20),
-    "v5e": DeviceSpec("tpu", "v5e", 197e12, 819e9, 64 * 2**20),
-    "v5p": DeviceSpec("tpu", "v5p", 459e12, 2765e9, 64 * 2**20),
-    "v4": DeviceSpec("tpu", "v4", 275e12, 1228e9, 64 * 2**20),
-    "v6": DeviceSpec("tpu", "v6e", 918e12, 1640e9, 64 * 2**20),
+    "v5 lite": DeviceSpec("tpu", "v5e", 197e12, 819e9, _VMEM_BUDGET),
+    "v5e": DeviceSpec("tpu", "v5e", 197e12, 819e9, _VMEM_BUDGET),
+    "v5p": DeviceSpec("tpu", "v5p", 459e12, 2765e9, _VMEM_BUDGET),
+    "v4": DeviceSpec("tpu", "v4", 275e12, 1228e9, _VMEM_BUDGET),
+    "v6": DeviceSpec("tpu", "v6e", 918e12, 1640e9, _VMEM_BUDGET),
 }
 
 _CPU = DeviceSpec("cpu", "host", 1e12, 100e9, 128 * 2**20)

@@ -129,3 +129,31 @@ def test_grouped_tuning_through_public_api():
     want = np.fft.fft(re + 1j * im, axis=-1) / n
     got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
     assert np.abs(got - want).max() < 1e-5
+
+
+def test_kernel_entry_typed_errors():
+    # User-facing shape errors must be ValueError, not bare assert
+    # (reference parity: every fallible call returns an error,
+    # ComputeFFT.h:147-150).
+    import jax.numpy as jnp
+    import pytest
+
+    from tensorfft_tpu.ops import four_step_pallas, fused_pallas
+
+    x = jnp.zeros((64, 8), jnp.float32)
+    y = jnp.zeros((8, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        fused_pallas.fused_fft(x, y, radices=(8, 8), scales=(1.0, 1.0))
+    with pytest.raises(ValueError):
+        fused_pallas.fused_fft(x, x, radices=(16, 16), scales=(1.0, 1.0))
+    with pytest.raises(ValueError):
+        four_step_pallas.four_step_fft(
+            y, y, n1=8, n2=16, radices1=(8,), radices2=(16,),
+            scales1=(1.0,), scales2=(1.0,))
+    with pytest.raises(ValueError):
+        four_step_pallas.fused_fft_batch_major(
+            y, x, radices=(8, 8), scales=(1.0, 1.0))
+    with pytest.raises(ValueError):
+        four_step_pallas.fft2_fused(
+            jnp.zeros((2, 8, 8)), jnp.zeros((2, 8, 4)),
+            radices1=(8,), radices2=(8,), scales1=(1.0,), scales2=(1.0,))

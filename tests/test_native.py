@@ -33,20 +33,32 @@ def test_optimal_radices_matches_python(native, n):
 
 @pytest.mark.parametrize("radix", [16, 64, 256])
 def test_dft_matrix_matches_numpy(native, radix):
+    # Bit-identical: the NumPy generators apply the native code's modular
+    # phase reduction in the same expression order (dft.py), so the cached
+    # tables cannot silently depend on whether libtfft_host.so is built.
     re, im = native.dft_matrix(radix, -1)
-    t = np.arange(radix, dtype=np.float64)
-    phase = (-2.0 * np.pi / radix) * np.outer(t, t)
-    np.testing.assert_allclose(re, np.cos(phase), atol=1e-12)
-    np.testing.assert_allclose(im, np.sin(phase), atol=1e-12)
+    t = np.arange(radix, dtype=np.int64)
+    phase = -2.0 * np.pi * (np.outer(t, t) % radix).astype(np.float64) / radix
+    np.testing.assert_array_equal(re, np.cos(phase))
+    np.testing.assert_array_equal(im, np.sin(phase))
 
 
 def test_stage_twiddle_matches_numpy(native):
     re, im = native.stage_twiddle(64, 128, -1)
-    r = np.arange(64, dtype=np.float64)[:, None]
-    k = np.arange(128, dtype=np.float64)[None, :]
-    phase = (-2.0 * np.pi / (64 * 128)) * (r * k)
-    np.testing.assert_allclose(re, np.cos(phase), atol=1e-12)
-    np.testing.assert_allclose(im, np.sin(phase), atol=1e-12)
+    r = np.arange(64, dtype=np.int64)[:, None]
+    k = np.arange(128, dtype=np.int64)[None, :]
+    denom = 64 * 128
+    phase = -2.0 * np.pi * ((r * k) % denom).astype(np.float64) / denom
+    np.testing.assert_array_equal(re, np.cos(phase))
+    np.testing.assert_array_equal(im, np.sin(phase))
+
+
+def test_stage_twiddle_py_matches_native(native):
+    dft._stage_twiddle_f64.cache_clear()
+    re, im = dft.stage_twiddle(16, 4096, dtype=np.float64)
+    n_re, n_im = native.stage_twiddle(16, 4096, -1)
+    np.testing.assert_array_equal(re, n_re)
+    np.testing.assert_array_equal(im, n_im)
 
 
 def test_digit_reversal_perm(native):

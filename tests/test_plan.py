@@ -103,3 +103,41 @@ def test_tuning_overrides():
     assert plan.radices == (16, 16, 16, 16)
     assert plan.lane_tile == 256
     assert plan.resolve_strategy() == Strategy.STAGED
+
+
+@pytest.mark.parametrize("p", range(15, 29))
+def test_four_step_split_in_contract_range(p):
+    # Round-1 regression (ADVICE.md): p=27,28 tripped an AssertionError
+    # because the n2 cap pushed n1 past max_fused.  Every in-contract length
+    # (p <= 2*pf) must split with both factors fusable.
+    n = 1 << p
+    n1, n2 = default_four_step_split(n, 16384)
+    assert n1 * n2 == n
+    assert n1 <= 16384 and n2 <= 16384
+    # And create_plan must build a valid plan for each.
+    plan = create_plan(n)
+    assert math.prod(plan.col_radices) * math.prod(plan.row_radices) == n
+
+
+def test_four_step_split_too_large_raises():
+    with pytest.raises(ValueError):
+        default_four_step_split(1 << 29, 16384)
+
+
+def test_four_step_plan_requires_full_decomposition():
+    # Directly-constructed four-step plans must carry split + radices
+    # (ADVICE.md: used to crash later in _fft_split_core unpacking None).
+    with pytest.raises(ValueError):
+        FFTPlan(fft_length=1 << 16, radices=(256, 256),
+                strategy=Strategy.FOUR_STEP)
+    with pytest.raises(ValueError):
+        FFTPlan(fft_length=1 << 16, radices=(256, 256),
+                strategy=Strategy.FOUR_STEP, four_step_split=(256, 256))
+    with pytest.raises(ValueError):
+        FFTPlan(fft_length=1 << 16, radices=(256, 256),
+                strategy=Strategy.FOUR_STEP, four_step_split=(256, 256),
+                col_radices=(16, 16), row_radices=(16, 8))  # row product wrong
+    ok = FFTPlan(fft_length=1 << 16, radices=(256, 256),
+                 strategy=Strategy.FOUR_STEP, four_step_split=(256, 256),
+                 col_radices=(16, 16), row_radices=(16, 16))
+    assert ok.resolve_strategy() is Strategy.FOUR_STEP
