@@ -26,8 +26,13 @@ def main():
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--cutoff", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--baseline", action="store_true",
-                    help="measure jnp.fft fp32 instead (cuFFT-fp32 analog)")
+    ap.add_argument("--baseline", nargs="?", const="staged-f32", default=None,
+                    choices=["staged-f32", "xla"],
+                    help="measure a baseline instead (cuFFT-fp32 analog, "
+                         "AccuracyTestCuFFT.cu:53-56): 'staged-f32' = the "
+                         "plain-XLA staged path at float32 policy (runs on "
+                         "this TPU backend); 'xla' = jnp.fft fp32 (CPU only "
+                         "— complex dtypes are unsupported on this TPU)")
     ap.add_argument("--out", default="Accuracy_Test.dat")
     args = ap.parse_args()
 
@@ -47,8 +52,12 @@ def main():
         re = sine_superposition(n, w_re)
         im = sine_superposition(n, w_im)
         want = fft_oracle(re, im)
-        if args.baseline:
+        if args.baseline == "xla":
             got = xla_baseline(re, im)
+        elif args.baseline == "staged-f32":
+            plan = tfft.create_plan(n, precision="float32", strategy="staged")
+            o = tfft.fft_split(re, im, plan)
+            got = (np.asarray(o[0], np.float64), np.asarray(o[1], np.float64))
         else:
             plan = tfft.create_plan(n, precision=args.precision)
             o = tfft.fft_split(re, im, plan)

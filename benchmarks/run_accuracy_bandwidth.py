@@ -18,6 +18,10 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--baseline", action="store_true",
+                    help="measure the staged-XLA float32 path instead (the "
+                         "on-device AccuracyTestBandwidthCuFFT.cu:53-56 "
+                         "analog; jnp.fft cannot run on this TPU backend)")
     ap.add_argument("--out", default="Accuracy_Bandwidth.dat")
     args = ap.parse_args()
 
@@ -27,7 +31,10 @@ def main():
     )
     from tensorfft_tpu.testing.io import write_accuracy_table
 
-    plan = tfft.create_plan(args.n, precision=args.precision)
+    if args.baseline:
+        plan = tfft.create_plan(args.n, precision="float32", strategy="staged")
+    else:
+        plan = tfft.create_plan(args.n, precision=args.precision)
     rows = []
     cutoff = 1
     while cutoff <= args.n:

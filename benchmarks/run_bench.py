@@ -27,10 +27,10 @@ def main():
     import jax.numpy as jnp
 
     import tensorfft_tpu as tfft
-    from tensorfft_tpu.fft import _fft_split_jit
     from tensorfft_tpu.testing.io import write_bench_table
     from tensorfft_tpu.testing.timer import chain_measure
     from tensorfft_tpu.tuning import TunerCache
+    from tensorfft_tpu.tuning.tuner import chain_step_for_plan
 
     cache = TunerCache() if args.use_cache else None
     platform = jax.devices()[0].platform
@@ -45,19 +45,22 @@ def main():
         rng = np.random.default_rng(0)
         re = jnp.asarray(rng.standard_normal((batch, n)), storage)
         im = jnp.asarray(rng.standard_normal((batch, n)), storage)
-        fn = lambda a, b: _fft_split_jit(a, b, plan, True)
+        # Layout-stationary step (four-step measures fwd+inv and halves;
+        # see tuning.tuner.chain_step_for_plan).
+        fn, divisor = chain_step_for_plan(plan)
         r = chain_measure(fn, (re, im))
+        t_ns = r.average_time_ns / divisor
         flops = 5.0 * n * float(np.log2(n)) * batch
-        gflops = flops / r.average_time_ns
+        gflops = flops / t_ns
         rows.append({
             "fft_length": n, "batch": batch,
-            "avg_time_us": r.average_time_ns / 1e3,
-            "sigma_us": r.std_deviation_ns / 1e3,
+            "avg_time_us": t_ns / 1e3,
+            "sigma_us": r.std_deviation_ns / divisor / 1e3,
             "gflops": gflops,
             "strategy": plan.resolve_strategy().value,
             "tuned": tuning is not None,
         })
-        print(f"N={n:>9d} B={batch:>6d}: {r.average_time_ns/1e3:9.1f} us  "
+        print(f"N={n:>9d} B={batch:>6d}: {t_ns/1e3:9.1f} us  "
               f"{gflops:8.1f} GFLOP/s  [{plan.resolve_strategy().value}]")
         n *= 2
     write_bench_table(args.out, rows)

@@ -69,6 +69,7 @@ def _block_engine(plan: FFTPlan):
                 lane_tile=plan.lane_tile,
                 algorithm=plan.precision.dot_algorithm,
                 grouped=plan.grouped,
+                state_dtype=plan.state_dtype,
             )
 
         return engine
@@ -144,6 +145,29 @@ def _fft_split_core(re, im, plan, forward):
             out_im.reshape(*batch_shape, n),
         )
 
+    if (
+        plan.resolve_strategy() is Strategy.FUSED
+        and _batch_major_ok(plan, b)
+    ):
+        # Batch-major fused kernel: the (B,N)->(N,B) transpose happens once
+        # in VMEM inside the kernel instead of as two XLA HBM passes around
+        # it (round-1 driver measurements showed those transposes costing
+        # ~40% of the whole fused pipeline).
+        from tensorfft_tpu.ops import four_step_pallas
+
+        sign = dft.FORWARD if forward else dft.INVERSE
+        scales = stage_scales(plan.radices, plan.scaling, forward)
+        out_re, out_im = four_step_pallas.fused_fft_batch_major(
+            re.reshape(b, n), im.reshape(b, n),
+            radices=plan.radices, scales=scales, sign=sign,
+            algorithm=plan.precision.dot_algorithm, grouped=plan.grouped,
+            state_dtype=plan.state_dtype,
+        )
+        return (
+            out_re.reshape(*batch_shape, n),
+            out_im.reshape(*batch_shape, n),
+        )
+
     re2 = re.reshape(b, n).T
     im2 = im.reshape(b, n).T
     out_re, out_im = _fft_transform_major(re2, im2, plan, forward)
@@ -151,6 +175,29 @@ def _fft_split_core(re, im, plan, forward):
         out_re.T.reshape(*batch_shape, n),
         out_im.T.reshape(*batch_shape, n),
     )
+
+
+def _batch_major_ok(plan: FFTPlan, b: int) -> bool:
+    """Whether the batch-major fused kernel should (and legally can) run.
+
+    Measured v5e (chain_compare, batch=4096, bf16): batch_major TIES
+    transform_major at N=4096 (366 us both), loses 2% at N=8192 and 27% at
+    N=16384 — the in-VMEM sublane transpose costs as much as the two XLA HBM
+    transposes it replaces — so 'auto' resolves to transform_major and
+    batch_major stays a tuner option (it wins when a neighboring op already
+    produces transform-major data, or on future Mosaic versions with faster
+    transposes).
+
+    Mosaic block shapes also need the sublane dim to be a multiple of 8 or
+    the full array axis; the kernel's row tile is the largest power-of-two
+    divisor of b (capped at 128), so small/odd batches always fall back.
+    """
+    if plan.fused_layout != "batch_major":
+        return False
+    rt = 1
+    while rt * 2 <= 128 and b % (rt * 2) == 0:
+        rt *= 2
+    return rt >= 8 or rt == b
 
 
 def _ensure_plan(n: int, plan: Optional[FFTPlan], **kwargs) -> FFTPlan:

@@ -43,7 +43,7 @@ __all__ = ["four_step_fft", "fft2_fused", "fused_fft_batch_major"]
 
 
 def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
-                grouped=False):
+                grouped=False, state_dtype=jnp.float32):
     """Pass K1: (bt, n1, T) block -> bt panels of n1-point FFTs
     (+ four-step twiddle).
 
@@ -81,11 +81,11 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
 
     for i in range(bt):
         state = jnp.stack(
-            [re_ref[i].astype(jnp.float32), im_ref[i].astype(jnp.float32)]
+            [re_ref[i].astype(state_dtype), im_ref[i].astype(state_dtype)]
         )
         state, _ = stage_loop(state, table_refs, radices, algorithm, n1, t,
-                              grouped=grouped)
-        state = state.reshape(2, n1, t)
+                              grouped=grouped, state_dtype=state_dtype)
+        state = state.reshape(2, n1, t).astype(jnp.float32)
         if twiddle:
             o_re = state[0] * w_re - state[1] * w_im
             o_im = state[0] * w_im + state[1] * w_re
@@ -96,7 +96,7 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
 
 
 def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
-                grouped=False):
+                grouped=False, state_dtype=jnp.float32):
     """Pass K2: transposed-read (bt, k1_tile, n2) block -> n2-point FFTs.
 
     transposed=True writes each (n2, k1_tile) result at the digit-swapped
@@ -108,12 +108,15 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
     table_refs = refs[2:-2]
 
     for i in range(bt):
+        # Transpose in the storage dtype (bf16 halves the sublane-transpose
+        # traffic, the slowest Mosaic lowering here), then upcast.
         state = jnp.stack([
-            re_ref[i].astype(jnp.float32).T,  # (n2, k1_tile)
-            im_ref[i].astype(jnp.float32).T,
+            re_ref[i].T.astype(state_dtype),  # (n2, k1_tile)
+            im_ref[i].T.astype(state_dtype),
         ])
         state, _ = stage_loop(state, table_refs, radices, algorithm, n2,
-                              k1_tile, grouped=grouped)
+                              k1_tile, grouped=grouped,
+                              state_dtype=state_dtype)
         state = state.reshape(2, n2, k1_tile)
         if transposed:
             out_re_ref[i] = state[0].astype(out_re_ref.dtype)
@@ -127,7 +130,7 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
     jax.jit,
     static_argnames=(
         "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
-        "lane_tile", "algorithm", "interpret", "grouped",
+        "lane_tile", "algorithm", "interpret", "grouped", "state_dtype",
     ),
 )
 def four_step_fft(
@@ -145,6 +148,7 @@ def four_step_fft(
     algorithm: str = "bf16",
     interpret: bool | None = None,
     grouped: bool = False,
+    state_dtype: str = "float32",
 ):
     """Large-N FFT on batch-major (B, N) planes, N = n1*n2.
 
@@ -207,8 +211,9 @@ def four_step_fft(
                      memory_space=pltpu.VMEM)
         for a in tables1
     ]
+    sd = jnp.dtype(state_dtype)
     kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t, bt1,
-                                      grouped=grouped)
+                                      grouped=grouped, state_dtype=sd)
     mid_re, mid_im = pl.pallas_call(
         kern1,
         grid=(b // bt1, n2 // t),
@@ -239,7 +244,7 @@ def four_step_fft(
         for a in tables2
     ]
     kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile,
-                                      bt2, grouped=grouped)
+                                      bt2, grouped=grouped, state_dtype=sd)
     out_re, out_im = pl.pallas_call(
         kern2,
         grid=(b // bt2, n1 // k1_tile),
@@ -262,7 +267,7 @@ def four_step_fft(
     jax.jit,
     static_argnames=(
         "radices1", "radices2", "scales1", "scales2", "sign", "lane_tile",
-        "algorithm", "interpret", "grouped",
+        "algorithm", "interpret", "grouped", "state_dtype",
     ),
 )
 def fft2_fused(
@@ -278,6 +283,7 @@ def fft2_fused(
     algorithm: str = "bf16",
     interpret: bool | None = None,
     grouped: bool | Tuple[bool, bool] = False,
+    state_dtype: str = "float32",
 ):
     """2D FFT of (B, H, W) planes via the four-step kernels minus the twiddle.
 
@@ -325,8 +331,10 @@ def fft2_fused(
                      memory_space=pltpu.VMEM)
         for a in tables1
     ]
+    sd = jnp.dtype(state_dtype)
     kern1 = lambda *refs: _col_kernel(
-        refs, radices1, algorithm, h, t, bt1, twiddle=False, grouped=grouped1
+        refs, radices1, algorithm, h, t, bt1, twiddle=False, grouped=grouped1,
+        state_dtype=sd,
     )
     mid_re, mid_im = pl.pallas_call(
         kern1,
@@ -355,7 +363,7 @@ def fft2_fused(
     ]
     kern2 = lambda *refs: _row_kernel(
         refs, radices2, algorithm, w, kh_tile, bt2, transposed=False,
-        grouped=grouped2
+        grouped=grouped2, state_dtype=sd,
     )
     out_re, out_im = pl.pallas_call(
         kern2,
@@ -379,7 +387,7 @@ def fft2_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "algorithm", "interpret",
-                     "grouped"),
+                     "grouped", "state_dtype"),
 )
 def fused_fft_batch_major(
     re,
@@ -391,6 +399,7 @@ def fused_fft_batch_major(
     algorithm: str = "bf16",
     interpret: bool | None = None,
     grouped: bool = False,
+    state_dtype: str = "float32",
 ):
     """Whole-transform FFT on batch-major (B, N) planes in ONE Pallas pass.
 
@@ -424,16 +433,20 @@ def fused_fft_batch_major(
         for a in tables
     ]
 
+    sd = jnp.dtype(state_dtype)
+
     def kernel(*refs):
         re_ref, im_ref = refs[0], refs[1]
         out_re_ref, out_im_ref = refs[-2], refs[-1]
         table_refs = refs[2:-2]
+        # Transpose in the storage dtype (halves the slow sublane-transpose
+        # traffic for bf16 data), then upcast to the state dtype.
         state = jnp.stack([
-            re_ref[:].astype(jnp.float32).T,  # (n, row_tile)
-            im_ref[:].astype(jnp.float32).T,
+            re_ref[:].T.astype(sd),  # (n, row_tile)
+            im_ref[:].T.astype(sd),
         ])
         state, _ = stage_loop(state, table_refs, radices, algorithm, n,
-                              row_tile, grouped=grouped)
+                              row_tile, grouped=grouped, state_dtype=sd)
         state = state.reshape(2, n, row_tile)
         out_re_ref[:] = state[0].T.astype(out_re_ref.dtype)
         out_im_ref[:] = state[1].T.astype(out_im_ref.dtype)

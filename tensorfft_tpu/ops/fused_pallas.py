@@ -166,13 +166,19 @@ def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool):
 
 
 def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
-               grouped: bool = False):
-    """Run the whole stage sequence on a stacked (2, n, t) fp32 state.
+               grouped: bool = False, state_dtype=jnp.float32):
+    """Run the whole stage sequence on a stacked (2, n, t) state.
 
     The shared in-VMEM engine behind every kernel (whole-transform fused,
     four-step passes, 2D row/column passes).  Dispatch per stage follows
     _stage_kinds; see fused_fft_kernel_body for the math of each branch.
+
+    ``state_dtype`` is the dtype the state is held in BETWEEN stages: fp32
+    by default; bf16 halves in-VMEM state traffic (the analog of the
+    reference storing fp16 between stages, TensorRadix16.cu:195-213) at the
+    cost of one extra rounding per stage — matmuls still accumulate fp32.
     """
+    sd = state_dtype
     m = n
     for kind, radix, k, p in _stage_kinds(radices, grouped):
         m //= radix
@@ -180,7 +186,7 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             bd = table_refs[ti][:]
             ti += 1
             z2 = state.reshape(2 * radix, m * t)
-            out = dots.dot(bd, z2, algorithm)
+            out = dots.dot(bd, z2, algorithm).astype(sd)
             state = out.reshape(2, radix, m * t)
         elif kind == "grouped":
             g_tab = table_refs[ti][:]
@@ -190,7 +196,7 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             for g in range(k // p):
                 zg = zv[:, g * p:(g + 1) * p].reshape(2 * p * radix, m * t)
                 outs.append(
-                    dots.dot(g_tab[g], zg, algorithm)
+                    dots.dot(g_tab[g], zg, algorithm).astype(sd)
                     .reshape(2, radix, p, m * t)
                 )
             out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
@@ -205,13 +211,16 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             for kk in range(k):
                 sr = zv[0, kk]
                 si = zv[1, kk]
-                wr = w_re[:, kk][:, None]
-                wi = w_im[:, kk][:, None]
+                wr = w_re[:, kk][:, None].astype(jnp.float32)
+                wi = w_im[:, kk][:, None].astype(jnp.float32)
+                sr32 = sr.astype(jnp.float32)
+                si32 = si.astype(jnp.float32)
                 zk = jnp.concatenate(
-                    [sr * wr - si * wi, sr * wi + si * wr], axis=0
+                    [sr32 * wr - si32 * wi, sr32 * wi + si32 * wr], axis=0
                 )
                 outs.append(
-                    dots.dot(bd, zk, algorithm).reshape(2, radix, m * t)
+                    dots.dot(bd, zk, algorithm).astype(sd)
+                    .reshape(2, radix, m * t)
                 )
             out = jnp.stack(outs, axis=2)  # (2, R, K, M*T)
             state = out.reshape(2, radix * k, m * t)
@@ -220,17 +229,17 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             w_re = table_refs[ti + 1][:].T[None, :, :, None]  # (1, K, R, 1)
             w_im = table_refs[ti + 2][:].T[None, :, :, None]
             ti += 3
-            zv = state.reshape(2, k, radix, m * t)
+            zv = state.reshape(2, k, radix, m * t).astype(jnp.float32)
             tw = jnp.stack([zv[0] * w_re[0] - zv[1] * w_im[0],
                             zv[0] * w_im[0] + zv[1] * w_re[0]])
             z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
-            out = dots.dot(bd, z2, algorithm)
+            out = dots.dot(bd, z2, algorithm).astype(sd)
             state = out.reshape(2, radix * k, m * t)
     return state, ti
 
 
 def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
-                          grouped: bool = False):
+                          grouped: bool = False, state_dtype=jnp.float32):
     """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
 
     State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
@@ -257,10 +266,10 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
 
     n, t = re_ref.shape
     state = jnp.stack(
-        [re_ref[:].astype(jnp.float32), im_ref[:].astype(jnp.float32)]
+        [re_ref[:].astype(state_dtype), im_ref[:].astype(state_dtype)]
     )
     state, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
-                          grouped=grouped)
+                          grouped=grouped, state_dtype=state_dtype)
     out_re_ref[:] = state[0].reshape(n, t).astype(out_re_ref.dtype)
     out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
@@ -268,7 +277,7 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
-                     "interpret", "grouped"),
+                     "interpret", "grouped", "state_dtype"),
 )
 def fused_fft(
     re,
@@ -281,6 +290,7 @@ def fused_fft(
     algorithm: str = "bf16",
     interpret: bool | None = None,
     grouped: bool = False,
+    state_dtype: str = "float32",
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
@@ -316,8 +326,9 @@ def fused_fft(
         for a in table_arrays
     ]
 
+    sd = jnp.dtype(state_dtype)
     kernel = lambda *refs: fused_fft_kernel_body(refs, radices, algorithm,
-                                                 grouped)
+                                                 grouped, state_dtype=sd)
 
     out_re, out_im = pl.pallas_call(
         kernel,

@@ -241,6 +241,17 @@ class FFTPlan:
     # tail stages ~3%, hurts radix-32 -- a per-length tuner decision, off by
     # default (see CLAUDE.md perf log).
     grouped: bool = False
+    # HBM layout of the FUSED path: 'batch_major' reads (B, N) row blocks and
+    # transposes once in VMEM (ops/four_step_pallas.fused_fft_batch_major),
+    # killing the two XLA HBM transposes the 'transform_major' (N, B) kernel
+    # needs around it; 'auto' picks batch_major whenever the batch tiles
+    # legally (fft.py).  Tuner-overridable per length.
+    fused_layout: str = "auto"
+    # Dtype the in-VMEM state is held in BETWEEN kernel stages.  'bfloat16'
+    # halves state traffic (matmuls still accumulate fp32) — the analog of
+    # the reference keeping fp16 in shared memory between fused stages
+    # (TensorRadix16.cu:195-213); 'float32' is exactly-one-rounding-per-stage.
+    state_dtype: str = "float32"
 
     def __post_init__(self):
         if not is_power_of_2(self.fft_length):
@@ -256,6 +267,10 @@ class FFTPlan:
                 raise ValueError(f"radix {r} is not a power of 2")
         if self.scaling not in ("forward", "none", "ortho"):
             raise ValueError(f"bad scaling {self.scaling!r}")
+        if self.fused_layout not in ("auto", "batch_major", "transform_major"):
+            raise ValueError(f"bad fused_layout {self.fused_layout!r}")
+        if self.state_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad state_dtype {self.state_dtype!r}")
         if self.four_step_split is not None:
             n1, n2 = self.four_step_split
             if n1 * n2 != self.fft_length:
@@ -320,6 +335,8 @@ def create_plan(
     scaling: str = "forward",
     max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH,
     tuning: Optional[dict] = None,
+    fused_layout: Optional[str] = None,
+    batch_hint: Optional[int] = None,
 ) -> FFTPlan:
     """Create an :class:`FFTPlan`.
 
@@ -345,8 +362,11 @@ def create_plan(
 
         from tensorfft_tpu.tuning import TunerCache
 
+        # batch_hint selects a batch-specific cache entry when one exists
+        # (plans themselves stay batch-agnostic).
         tuning = TunerCache().get(
-            fft_length, precision.value, jax.devices()[0].platform
+            fft_length, precision.value, jax.devices()[0].platform,
+            batch=batch_hint,
         )
 
     tuning = dict(tuning or {})
@@ -361,6 +381,9 @@ def create_plan(
         strategy = Strategy(tuning["strategy"])
     if "max_fused_length" in tuning:
         max_fused_length = int(tuning["max_fused_length"])
+    if "fused_layout" in tuning and fused_layout is None:
+        fused_layout = str(tuning["fused_layout"])
+    state_dtype = str(tuning.get("state_dtype", "float32"))
 
     four_step_split = None
     col_radices = None
@@ -398,6 +421,8 @@ def create_plan(
         scaling=scaling,
         max_fused_length=int(max_fused_length),
         grouped=grouped,
+        fused_layout=fused_layout if fused_layout is not None else "auto",
+        state_dtype=state_dtype,
     )
 
 

@@ -25,8 +25,11 @@ def default_cache_path() -> Path:
     return Path(__file__).parent / "tuner_cache.json"
 
 
-def _key(fft_length: int, precision: str, platform: str) -> str:
-    return f"n={fft_length},precision={precision},platform={platform}"
+def _key(
+    fft_length: int, precision: str, platform: str, batch: Optional[int] = None
+) -> str:
+    base = f"n={fft_length},precision={precision},platform={platform}"
+    return base if batch is None else f"{base},batch={batch}"
 
 
 class TunerCache:
@@ -38,14 +41,32 @@ class TunerCache:
             if data.get("version") == _VERSION:
                 self._entries = data.get("entries", {})
 
-    def get(self, fft_length: int, precision: str, platform: str) -> Optional[dict]:
-        """Tuning dict for create_plan(tuning=...), or None if not tuned."""
-        entry = self._entries.get(_key(fft_length, precision, platform))
+    def get(
+        self,
+        fft_length: int,
+        precision: str,
+        platform: str,
+        batch: Optional[int] = None,
+    ) -> Optional[dict]:
+        """Tuning dict for create_plan(tuning=...), or None if not tuned.
+
+        With ``batch``, an entry tuned at that exact batch takes priority
+        (lane-panel/grid tradeoffs shift with batch — round-1 verdict #8);
+        the batch-blind entry is the fallback either way.
+        """
+        entry = None
+        if batch is not None:
+            entry = self._entries.get(
+                _key(fft_length, precision, platform, batch)
+            )
+        if entry is None:
+            entry = self._entries.get(_key(fft_length, precision, platform))
         if entry is None:
             return None
         tuning = dict(entry)
         tuning.pop("time_us", None)
         tuning.pop("gflops", None)
+        tuning.pop("batch", None)
         if "radices" in tuning:
             tuning["radices"] = tuple(tuning["radices"])
         if "four_step_split" in tuning and tuning["four_step_split"] is not None:
@@ -54,8 +75,29 @@ class TunerCache:
             tuning.pop("four_step_split", None)
         return tuning
 
-    def put(self, fft_length: int, precision: str, platform: str, entry: dict):
-        self._entries[_key(fft_length, precision, platform)] = entry
+    def put(
+        self,
+        fft_length: int,
+        precision: str,
+        platform: str,
+        entry: dict,
+        batch: Optional[int] = None,
+    ):
+        """Persist a winner.
+
+        With ``batch``, the entry is stored under the exact-batch key AND
+        promoted to the batch-blind key when it was tuned at a batch at least
+        as large as the blind incumbent's (the blind entry represents the
+        production/headline scale, not the smallest sweep).
+        """
+        if batch is not None:
+            entry = dict(entry, batch=int(batch))
+            self._entries[_key(fft_length, precision, platform, batch)] = entry
+            blind = self._entries.get(_key(fft_length, precision, platform))
+            if blind is None or int(blind.get("batch", 0)) <= int(batch):
+                self._entries[_key(fft_length, precision, platform)] = entry
+        else:
+            self._entries[_key(fft_length, precision, platform)] = entry
 
     def save(self):
         self.path.parent.mkdir(parents=True, exist_ok=True)

@@ -27,6 +27,7 @@ from tensorfft_tpu.plan import (
 
 __all__ = [
     "RunConfig",
+    "chain_step_for_plan",
     "get_search_space",
     "get_run_configs",
     "run_bench_over_search_space",
@@ -43,6 +44,7 @@ class RunConfig:
     strategy: str = "auto"
     lane_tile: int = 128
     grouped: bool = False
+    state_dtype: str = "float32"
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -52,6 +54,8 @@ class RunConfig:
             t["four_step_split"] = self.four_step_split
         if self.grouped:
             t["grouped"] = True
+        if self.state_dtype != "float32":
+            t["state_dtype"] = self.state_dtype
         return t
 
 
@@ -130,6 +134,50 @@ def get_run_configs(space: dict) -> List[RunConfig]:
     return configs
 
 
+def chain_step_for_plan(plan, forward: bool = True):
+    """A layout-stationary chain step measuring ONE transform of ``plan``.
+
+    Fused/staged steps are layout-stationary as-is (output physical layout =
+    input layout), so one forward transform is the step and the divisor is 1.
+
+    Four-step output is produced through (b, n2, n1)-tiled block writes while
+    the input is consumed as (b, n1, n2): chaining forward-only forces XLA to
+    re-tile the carry every iteration, inflating measurements ~50% (round-1
+    finding: composed chain read 1095 us where the two passes cost 716 us).
+    Instead the step composes forward with the INVERSE under the swapped
+    split (n2, n1), whose first pass reads exactly the forward output's
+    physical layout and whose output restores the input layout — zero
+    relayouts, and the measured slope is 2 transforms, so the divisor is 2.
+
+    Returns (step_fn, divisor).
+    """
+    from tensorfft_tpu.fft import _fft_split_jit
+    from tensorfft_tpu.plan import Strategy
+
+    if plan.resolve_strategy() is not Strategy.FOUR_STEP:
+        return (lambda a, b: _fft_split_jit(a, b, plan, forward)), 1
+
+    n1, n2 = plan.four_step_split
+    inv_plan = create_plan(
+        plan.fft_length,
+        precision=plan.precision.value,
+        strategy="four_step",
+        lane_tile=plan.lane_tile,
+        tuning={
+            "four_step_split": (n2, n1),
+            **({"grouped": True} if plan.grouped else {}),
+            **({"state_dtype": plan.state_dtype}
+               if plan.state_dtype != "float32" else {}),
+        },
+    )
+
+    def step(a, b):
+        fr, fi = _fft_split_jit(a, b, plan, forward)
+        return _fft_split_jit(fr, fi, inv_plan, not forward)
+
+    return step, 2
+
+
 def run_bench_over_search_space(
     n: int,
     configs: Sequence[RunConfig],
@@ -140,7 +188,6 @@ def run_bench_over_search_space(
     """Measure every config; returns list of (config, time_ns) (Bench.h:22-69)."""
     import jax.numpy as jnp
 
-    from tensorfft_tpu.fft import _fft_split_jit
     from tensorfft_tpu.testing.timer import chain_measure
 
     from tensorfft_tpu.plan import Precision
@@ -153,9 +200,9 @@ def run_bench_over_search_space(
     for cfg in configs:
         try:
             plan = create_plan(n, precision=precision, tuning=cfg.as_tuning())
-            fn = lambda a, b: _fft_split_jit(a, b, plan, True)
+            fn, divisor = chain_step_for_plan(plan)
             r = chain_measure(fn, (re, im), **(measure_kwargs or {}))
-            t = r.average_time_ns
+            t = r.average_time_ns / divisor
             # chain_measure reports NaN when every slope is non-positive
             # (noisy relay window); NaN never loses a min() comparison, so an
             # unmeasured config could otherwise be crowned.
@@ -175,7 +222,49 @@ def _config_from_entry(entry: dict) -> RunConfig:
         strategy=entry.get("strategy", "auto"),
         lane_tile=int(entry.get("lane_tile", 128)),
         grouped=bool(entry.get("grouped", False)),
+        state_dtype=str(entry.get("state_dtype", "float32")),
     )
+
+
+def _state_dtype_head_to_head(n, best_cfg, best_ns, batch, precision):
+    """Challenge the sweep winner with its bfloat16-state twin.
+
+    state_dtype halves in-VMEM state traffic (see ops/fused_pallas.stage_loop)
+    but costs one rounding per stage; measured per length via an interleaved
+    chain_compare instead of doubling the whole sweep.
+    """
+    import jax.numpy as jnp
+
+    from tensorfft_tpu.plan import Precision
+    from tensorfft_tpu.testing.timer import chain_compare
+
+    alt = dataclasses.replace(
+        best_cfg,
+        state_dtype="bfloat16" if best_cfg.state_dtype == "float32"
+        else "float32",
+    )
+    try:
+        p_a = create_plan(n, precision=precision, tuning=best_cfg.as_tuning())
+        p_b = create_plan(n, precision=precision, tuning=alt.as_tuning())
+    except Exception:
+        return best_cfg, best_ns
+    rng = np.random.default_rng(0)
+    storage = Precision(precision).storage_dtype
+    re = jnp.asarray(rng.standard_normal((batch, n)), storage)
+    im = jnp.asarray(rng.standard_normal((batch, n)), storage)
+    try:
+        step_a, div_a = chain_step_for_plan(p_a)
+        step_b, div_b = chain_step_for_plan(p_b)
+        r_a, r_b = chain_compare(step_a, step_b, (re, im))
+    except Exception:
+        return best_cfg, best_ns
+    t_a = r_a.average_time_ns / div_a
+    t_b = r_b.average_time_ns / div_b
+    if not np.isnan(t_b) and (np.isnan(t_a) or t_b < t_a):
+        return alt, t_b
+    if not np.isnan(t_a):
+        return best_cfg, t_a
+    return best_cfg, best_ns
 
 
 def tune(
@@ -200,7 +289,7 @@ def tune(
     incumbent_cfg = None
     if cache is not None:
         platform = jax.devices()[0].platform
-        entry = cache.get(n, precision, platform)
+        entry = cache.get(n, precision, platform, batch=batch)
         if entry:
             incumbent_cfg = _config_from_entry(entry)
             if incumbent_cfg not in configs:
@@ -210,10 +299,12 @@ def tune(
         measure_kwargs=measure_kwargs,
     )
     best_cfg, best_ns = min(results, key=lambda r: r[1])
+    best_cfg, best_ns = _state_dtype_head_to_head(
+        n, best_cfg, best_ns, batch=batch, precision=precision
+    )
     if incumbent_cfg is not None and best_cfg != incumbent_cfg:
         import jax.numpy as jnp
 
-        from tensorfft_tpu.fft import _fft_split_jit
         from tensorfft_tpu.plan import Precision
         from tensorfft_tpu.testing.timer import chain_compare
 
@@ -224,15 +315,15 @@ def tune(
         p_inc = create_plan(n, precision=precision,
                             tuning=incumbent_cfg.as_tuning())
         p_new = create_plan(n, precision=precision, tuning=best_cfg.as_tuning())
-        r_inc, r_new = chain_compare(
-            lambda a, b: _fft_split_jit(a, b, p_inc, True),
-            lambda a, b: _fft_split_jit(a, b, p_new, True),
-            (re, im),
-        )
-        if r_inc.average_time_ns <= r_new.average_time_ns:
-            best_cfg, best_ns = incumbent_cfg, r_inc.average_time_ns
+        step_inc, div_inc = chain_step_for_plan(p_inc)
+        step_new, div_new = chain_step_for_plan(p_new)
+        r_inc, r_new = chain_compare(step_inc, step_new, (re, im))
+        t_inc = r_inc.average_time_ns / div_inc
+        t_new = r_new.average_time_ns / div_new
+        if np.isnan(t_new) or t_inc <= t_new:
+            best_cfg, best_ns = incumbent_cfg, t_inc
         else:
-            best_ns = r_new.average_time_ns
+            best_ns = t_new
     entry = best_cfg.as_tuning()
     flops = 5.0 * n * float(np.log2(n)) * batch
     entry_out = dict(entry)
@@ -244,5 +335,5 @@ def tune(
         entry_out["four_step_split"] = list(entry_out["four_step_split"])
     if cache is not None:
         platform = jax.devices()[0].platform
-        cache.put(n, precision, platform, entry_out)
+        cache.put(n, precision, platform, entry_out, batch=batch)
     return entry

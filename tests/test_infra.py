@@ -97,3 +97,36 @@ def test_write_log(tmp_path):
     write_log(p, ["a", "b\n"])
     write_log(p, ["c"])
     assert p.read_text() == "a\nb\nc\n"
+
+
+def test_overlap_perf_model():
+    # ICI roofline + pipelining model (round-1 verdict #10): BASELINE
+    # config 5 is 512^3 pencil-decomposed 3D FFT on v5p-16.  The model must
+    # (a) predict comm in the ICI-roofline ballpark, (b) recommend overlap
+    # when comm and compute are comparable, and (c) recommend none when one
+    # side dominates by orders of magnitude.
+    from tensorfft_tpu.utils.device import (
+        DeviceSpec,
+        all_to_all_seconds,
+        overlap_estimate,
+    )
+
+    v5p = DeviceSpec("tpu", "v5p", 459e12, 2765e9, 64 * 2**20,
+                     ici_bandwidth=540e9)
+    # 512^3 split-complex f32: 8 bytes/point, 16 chips.
+    local_bytes = (512 ** 3 // 16) * 8
+    t_comm = all_to_all_seconds(local_bytes, 16, v5p)
+    assert 100e-6 < t_comm < 250e-6  # ~145 us at 80% of 540 GB/s egress
+
+    # Balanced comm/compute: overlap should win substantially.
+    est = overlap_estimate(local_bytes, 16, compute_seconds=t_comm, spec=v5p)
+    assert est.chunks > 1
+    assert est.speedup > 1.4  # 2-stage fill bound caps balanced overlap ~1.45x
+
+    # Compute-dominated (tiny message): overlap can't help; chunk latency
+    # makes c=1 optimal or near-optimal.
+    est2 = overlap_estimate(1 << 10, 16, compute_seconds=1e-3, spec=v5p)
+    assert est2.speedup < 1.05
+
+    # Single device: no comm at all.
+    assert all_to_all_seconds(local_bytes, 1, v5p) == 0.0

@@ -82,3 +82,30 @@ def test_tables(tmp_path):
     assert (tmp_path / "acc.dat").read_text().count("\n") == 2
     assert (tmp_path / "acc.dat.json").exists()
     assert (tmp_path / "bench.dat.json").exists()
+
+
+def test_cache_batch_aware_keys(tmp_path):
+    # VERDICT round-1 #8: entries tuned at batch=1024 were consumed at
+    # batch=4096.  Exact-batch entries take priority; the batch-blind key is
+    # promoted from the largest tuned batch.
+    from tensorfft_tpu.tuning import TunerCache
+
+    c = TunerCache(tmp_path / "cache.json")
+    c.put(4096, "bfloat16", "tpu", {"radices": [64, 64]}, batch=1024)
+    c.put(4096, "bfloat16", "tpu", {"radices": [32, 128]}, batch=4096)
+    # Exact-batch lookups.
+    assert c.get(4096, "bfloat16", "tpu", batch=1024)["radices"] == (64, 64)
+    assert c.get(4096, "bfloat16", "tpu", batch=4096)["radices"] == (32, 128)
+    # Blind lookup returns the largest-batch winner.
+    assert c.get(4096, "bfloat16", "tpu")["radices"] == (32, 128)
+    # A smaller-batch re-tune must NOT demote the blind entry.
+    c.put(4096, "bfloat16", "tpu", {"radices": [16, 256]}, batch=512)
+    assert c.get(4096, "bfloat16", "tpu")["radices"] == (32, 128)
+    # Unknown batch falls back to blind.
+    assert c.get(4096, "bfloat16", "tpu", batch=64)["radices"] == (32, 128)
+    # Round-trips through save/load.
+    c.save()
+    c2 = TunerCache(tmp_path / "cache.json")
+    assert c2.get(4096, "bfloat16", "tpu", batch=1024)["radices"] == (64, 64)
+    # "batch" bookkeeping must not leak into the tuning dict.
+    assert "batch" not in c2.get(4096, "bfloat16", "tpu", batch=1024)
