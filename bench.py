@@ -50,15 +50,29 @@ def _measure_config(n, batch, precision, smoke):
     fused, divisor = chain_step_for_plan(plan)
     staged = lambda a, b: _fft_split_jit(a, b, plan_base, True)
 
+    # Cross-window drift on the shared relay reaches tens of percent even
+    # for interleaved pairs (identical configs measured 215 vs 366 us in
+    # separate windows), so take the median over several windows; sigma is
+    # the across-window spread — the honest reproducibility bar.
     kwargs = dict(iters_low=1, iters_high=3, reps=2) if smoke else {}
-    r, rb = chain_compare(fused, staged, (re, im), **kwargs)
+    windows = 1 if smoke else 3
+    ts, tbs = [], []
+    for _ in range(windows):
+        r, rb = chain_compare(fused, staged, (re, im), **kwargs)
+        if not np.isnan(r.average_time_ns):
+            ts.append(r.average_time_ns / divisor)
+        if not np.isnan(rb.average_time_ns):
+            tbs.append(rb.average_time_ns)
     import dataclasses
 
+    ts = ts or [float("nan")]
+    tbs = tbs or [float("nan")]
     r = dataclasses.replace(
         r,
-        average_time_ns=r.average_time_ns / divisor,
-        std_deviation_ns=r.std_deviation_ns / divisor,
+        average_time_ns=float(np.median(ts)),
+        std_deviation_ns=float(np.std(ts)),
     )
+    rb = dataclasses.replace(rb, average_time_ns=float(np.median(tbs)))
 
     flops = 5.0 * n * float(np.log2(n)) * batch
     gflops = flops / max(r.average_time_ns, 1e-9)

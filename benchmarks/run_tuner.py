@@ -14,8 +14,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--start", type=int, default=256)
-    ap.add_argument("--end", type=int, default=1 << 22)
+    ap.add_argument("--end", type=int, default=1 << 27)
     ap.add_argument("--batch-elems", type=int, default=1 << 22)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="fixed batch for every length (overrides "
+                         "--batch-elems; tunes a batch-specific cache entry)")
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--cache", default=None)
     args = ap.parse_args()
@@ -25,7 +28,7 @@ def main():
     cache = TunerCache(args.cache) if args.cache else TunerCache()
     n = args.start
     while n <= args.end:
-        batch = max(1, args.batch_elems // n)
+        batch = args.batch if args.batch else max(1, args.batch_elems // n)
         entry = tune(n, batch=batch, precision=args.precision, cache=cache)
         print(f"N={n:>9d}: best {entry}")
         cache.save()

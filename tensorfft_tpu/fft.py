@@ -70,6 +70,7 @@ def _block_engine(plan: FFTPlan):
                 algorithm=plan.precision.dot_algorithm,
                 grouped=plan.grouped,
                 state_dtype=plan.state_dtype,
+                kloop_width=plan.kloop_width,
             )
 
         return engine

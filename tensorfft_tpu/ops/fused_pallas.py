@@ -81,6 +81,14 @@ def block_dft_tables(
 # unrolls K matmuls at trace time; past ~128 the code size outweighs the win).
 _MAX_KLOOP = 128
 
+# Target lane width of one kloop stage matmul: twiddled slices can be packed
+# along the lane dim until the matmul is this wide (see stage_loop).  Measured
+# v5e (chain_compare, b=4096): widening to 512 LOSES 7-14% at N=8192/16384
+# and gains only 3% at N=4096 — the lane concatenations cost more than the
+# narrow (128-lane) matmuls do — so the default keeps g=1; the plan knob
+# kloop_width remains for per-length tuning.
+_KLOOP_WIDTH = 128
+
 
 def _stage_kinds(radices, grouped: bool):
     """Static per-stage dispatch shared by table builders and kernel bodies.
@@ -166,7 +174,8 @@ def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool):
 
 
 def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
-               grouped: bool = False, state_dtype=jnp.float32):
+               grouped: bool = False, state_dtype=jnp.float32,
+               kloop_width: int = _KLOOP_WIDTH):
     """Run the whole stage sequence on a stacked (2, n, t) state.
 
     The shared in-VMEM engine behind every kernel (whole-transform fused,
@@ -207,22 +216,34 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             w_im = table_refs[ti + 2][:]
             ti += 3
             zv = state.reshape(2, k, radix, m * t)
+            # Group g twiddled slices into ONE wide matmul by concatenating
+            # along the LANE dim (free — no transpose): the DFT block matrix
+            # is identical across slices and the twiddle runs pre-matmul on
+            # the VPU.  A lone (2R, m*t) slice with m*t = 128 feeds only one
+            # MXU column tile; MXU-bound stages (2R = 256) run ~4x under
+            # peak without the widening.  Target width ~512 lanes.
+            g = 1
+            while g * 2 <= k and g * m * t < kloop_width and k % (g * 2) == 0:
+                g *= 2
             outs = []
-            for kk in range(k):
-                sr = zv[0, kk]
-                si = zv[1, kk]
-                wr = w_re[:, kk][:, None].astype(jnp.float32)
-                wi = w_im[:, kk][:, None].astype(jnp.float32)
-                sr32 = sr.astype(jnp.float32)
-                si32 = si.astype(jnp.float32)
-                zk = jnp.concatenate(
-                    [sr32 * wr - si32 * wi, sr32 * wi + si32 * wr], axis=0
-                )
-                outs.append(
-                    dots.dot(bd, zk, algorithm).astype(sd)
-                    .reshape(2, radix, m * t)
-                )
-            out = jnp.stack(outs, axis=2)  # (2, R, K, M*T)
+            for gi in range(k // g):
+                zks = []
+                for j in range(g):
+                    kk = gi * g + j
+                    sr32 = zv[0, kk].astype(jnp.float32)
+                    si32 = zv[1, kk].astype(jnp.float32)
+                    wr = w_re[:, kk][:, None].astype(jnp.float32)
+                    wi = w_im[:, kk][:, None].astype(jnp.float32)
+                    zks.append(jnp.concatenate(
+                        [sr32 * wr - si32 * wi, sr32 * wi + si32 * wr],
+                        axis=0,
+                    ))
+                z_wide = zks[0] if g == 1 else jnp.concatenate(zks, axis=1)
+                out_g = dots.dot(bd, z_wide, algorithm).astype(sd)
+                outs.append(out_g.reshape(2, radix, g, m * t))
+            out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
+            # (2, R, K/g, g, M*T) -> row index kk = gi*g + j, matching the
+            # pre-grouping stack order exactly.
             state = out.reshape(2, radix * k, m * t)
         else:  # big
             bd = table_refs[ti][:]
@@ -239,7 +260,8 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
 
 
 def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
-                          grouped: bool = False, state_dtype=jnp.float32):
+                          grouped: bool = False, state_dtype=jnp.float32,
+                          kloop_width: int = _KLOOP_WIDTH):
     """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
 
     State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
@@ -269,7 +291,8 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
         [re_ref[:].astype(state_dtype), im_ref[:].astype(state_dtype)]
     )
     state, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
-                          grouped=grouped, state_dtype=state_dtype)
+                          grouped=grouped, state_dtype=state_dtype,
+                          kloop_width=kloop_width)
     out_re_ref[:] = state[0].reshape(n, t).astype(out_re_ref.dtype)
     out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
@@ -277,7 +300,7 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
-                     "interpret", "grouped", "state_dtype"),
+                     "interpret", "grouped", "state_dtype", "kloop_width"),
 )
 def fused_fft(
     re,
@@ -291,6 +314,7 @@ def fused_fft(
     interpret: bool | None = None,
     grouped: bool = False,
     state_dtype: str = "float32",
+    kloop_width: int = _KLOOP_WIDTH,
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
@@ -328,7 +352,8 @@ def fused_fft(
 
     sd = jnp.dtype(state_dtype)
     kernel = lambda *refs: fused_fft_kernel_body(refs, radices, algorithm,
-                                                 grouped, state_dtype=sd)
+                                                 grouped, state_dtype=sd,
+                                                 kloop_width=kloop_width)
 
     out_re, out_im = pl.pallas_call(
         kernel,

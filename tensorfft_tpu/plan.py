@@ -247,6 +247,11 @@ class FFTPlan:
     # needs around it; 'auto' picks batch_major whenever the batch tiles
     # legally (fft.py).  Tuner-overridable per length.
     fused_layout: str = "auto"
+    # Lane width one kloop stage matmul is packed to (ops/fused_pallas
+    # stage_loop): wider matmuls feed more MXU column tiles, at the price of
+    # lane-dim concatenations.  Measured a net LOSS above N=4096 (see
+    # fused_pallas._KLOOP_WIDTH), so the default stays narrow; tuner knob.
+    kloop_width: int = 128
     # Dtype the in-VMEM state is held in BETWEEN kernel stages.  'bfloat16'
     # halves state traffic (matmuls still accumulate fp32) — the analog of
     # the reference keeping fp16 in shared memory between fused stages
@@ -384,6 +389,7 @@ def create_plan(
     if "fused_layout" in tuning and fused_layout is None:
         fused_layout = str(tuning["fused_layout"])
     state_dtype = str(tuning.get("state_dtype", "float32"))
+    kloop_width = int(tuning.get("kloop_width", 128))
 
     four_step_split = None
     col_radices = None
@@ -423,6 +429,7 @@ def create_plan(
         grouped=grouped,
         fused_layout=fused_layout if fused_layout is not None else "auto",
         state_dtype=state_dtype,
+        kloop_width=kloop_width,
     )
 
 
