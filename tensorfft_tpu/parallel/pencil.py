@@ -94,6 +94,26 @@ def _engine(re, im, radices, scales, sign, algorithm):
                                    algorithm=algorithm)
 
 
+
+def resolve_overlap(overlap, local_bytes, n_devices, local_fft_seconds,
+                    divisor_candidates):
+    """Map overlap='auto' to a model-recommended chunk count.
+
+    Consults utils.device.overlap_estimate (ICI all_to_all roofline vs the
+    local FFT compute it can hide behind) and clamps the recommendation to
+    the largest legal divisor <= the recommendation, so the result always
+    satisfies the path's chunking constraint.  Integers pass through.
+    """
+    if overlap != "auto":
+        return max(1, int(overlap))
+    from tensorfft_tpu.utils.device import overlap_estimate
+
+    est = overlap_estimate(local_bytes, n_devices, local_fft_seconds)
+    c = est.chunks
+    legal = [d for d in divisor_candidates if d <= c] or [1]
+    return max(legal)
+
+
 def pencil_fft_1d(
     re,
     im,
@@ -103,7 +123,7 @@ def pencil_fft_1d(
     scaling: str = "forward",
     forward: bool = True,
     precision: str = "bfloat16",
-    overlap: int = 1,
+    overlap: int | str = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """One large 1D FFT distributed over the mesh (distributed four-step).
 
@@ -139,6 +159,17 @@ def pencil_fft_1d(
     n2p = n2 // p
     n1p = n1 // p
 
+    if overlap == "auto":
+        from tensorfft_tpu.utils.device import fft_roofline_seconds
+
+        itemsize = 2 if precision == "bfloat16" else 4
+        local_bytes = 2 * b * n1 * n2p * itemsize
+        divisors = [d for d in (1, 2, 4, 8)
+                    if (b % d == 0 and b >= d) or n2p % d == 0]
+        overlap = resolve_overlap(
+            overlap, local_bytes, p,
+            fft_roofline_seconds(n1, b * n2p, rad1, itemsize), divisors,
+        )
     c = max(1, int(overlap))
     chunk_batch = b % c == 0 and b >= c
     if not chunk_batch and n2p % c:
@@ -250,7 +281,7 @@ def pencil_fft_3d(
     scaling: str = "forward",
     forward: bool = True,
     precision: str = "bfloat16",
-    overlap: int = 1,
+    overlap: int | str = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """3D FFT of a (nx, ny, nz) volume, slab-sharded over nx.
 
@@ -268,6 +299,18 @@ def pencil_fft_3d(
     p = mesh.shape[axis_name]
     if nx % p or nz % p:
         raise ValueError(f"nx={nx} and nz={nz} must be divisible by mesh size {p}")
+    if overlap == "auto":
+        from tensorfft_tpu.utils.device import fft_roofline_seconds
+
+        itemsize = 2 if precision == "bfloat16" else 4
+        local_bytes = 2 * (nx // p) * ny * nz * itemsize
+        divisors = [d for d in (1, 2, 4, 8) if ny % d == 0]
+        overlap = resolve_overlap(
+            overlap, local_bytes, p,
+            fft_roofline_seconds(nx, (nz // p) * ny, balanced_radices(nx),
+                                 itemsize),
+            divisors,
+        )
     c = max(1, int(overlap))
     if ny % c:
         raise ValueError(f"overlap={c} must divide ny={ny}")
@@ -346,7 +389,7 @@ def pencil_fft_3d_2d_mesh(
     scaling: str = "forward",
     forward: bool = True,
     precision: str = "bfloat16",
-    overlap: int = 1,
+    overlap: int | str = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """True pencil-decomposed 3D FFT over a 2D device mesh (py x pz).
 
@@ -377,6 +420,18 @@ def pencil_fft_3d_2d_mesh(
         raise ValueError(
             f"(nx, ny, nz)=({nx},{ny},{nz}) must be divisible by mesh "
             f"({py},{pz}) on the exchanged axes"
+        )
+    if overlap == "auto":
+        from tensorfft_tpu.utils.device import fft_roofline_seconds
+
+        itemsize = 2 if precision == "bfloat16" else 4
+        local_bytes = 2 * nx * (ny // py) * (nz // pz) * itemsize
+        divisors = [d for d in (1, 2, 4, 8) if (nz // pz) % d == 0]
+        overlap = resolve_overlap(
+            overlap, local_bytes, max(py, pz),
+            fft_roofline_seconds(nx, (ny // py) * (nz // pz),
+                                 balanced_radices(nx), itemsize),
+            divisors,
         )
     c = max(1, int(overlap))
     if (nz // pz) % c:

@@ -17,6 +17,10 @@ import numpy as np
 __all__ = [
     "write_results_to_file",
     "read_results_from_file",
+    "write_result_batch_to_files",
+    "read_result_batch_from_files",
+    "compare_result_files",
+    "compare_many_result_files",
     "write_accuracy_table",
     "write_bench_table",
     "write_log",
@@ -46,6 +50,62 @@ def read_results_from_file(path):
             ims.append(float(parts[2]))
     order = np.argsort(xs)
     return np.asarray(res)[order], np.asarray(ims)[order]
+
+
+def write_result_batch_to_files(prefix, re, im):
+    """One ``x RE IM`` file per batch element (FileWriter.h:78-169 analog).
+
+    ``re``/``im`` are (batch, n) planes; files are ``<prefix>_<i>.dat``.
+    Returns the list of paths written.
+    """
+    re = np.asarray(re)
+    im = np.asarray(im)
+    if re.ndim == 1:
+        re = re[None]
+        im = im[None]
+    paths = []
+    for i in range(re.shape[0]):
+        p = f"{prefix}_{i}.dat"
+        write_results_to_file(p, re[i], im[i])
+        paths.append(p)
+    return paths
+
+
+def read_result_batch_from_files(paths):
+    """Stack per-element result files back into (batch, n) planes."""
+    res, ims = [], []
+    for p in paths:
+        r, i = read_results_from_file(p)
+        res.append(r)
+        ims.append(i)
+    return np.stack(res), np.stack(ims)
+
+
+def compare_result_files(path_a, path_b):
+    """Deviation between two ``x RE IM`` files
+    (AccuracyCalculator.h:150-346 file-based comparison analog).
+
+    Returns a testing.metrics.Deviation over the complex difference.
+    """
+    from tensorfft_tpu.testing.metrics import deviation
+
+    a = read_results_from_file(path_a)
+    b = read_results_from_file(path_b)
+    if a[0].shape != b[0].shape:
+        raise ValueError(
+            f"length mismatch: {a[0].shape} vs {b[0].shape} "
+            f"({path_a} vs {path_b})"
+        )
+    return deviation(a, b)
+
+
+def compare_many_result_files(paths, reference_path):
+    """Many-vs-one file comparison (AccuracyCalculator.h:349-658 analog).
+
+    The reference harness compares each batch element's dump against one
+    oracle dump; returns the list of per-file Deviations in input order.
+    """
+    return [compare_result_files(p, reference_path) for p in paths]
 
 
 def write_accuracy_table(path, rows: Sequence[dict]):

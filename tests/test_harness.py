@@ -76,3 +76,41 @@ def test_measure_runs():
     r = measure(lambda x: x + 1, args=(jnp.ones(8),), warmup=1, samples=3)
     assert r.average_time_ns > 0
     assert r.samples == 3
+
+
+def test_batch_file_roundtrip_and_many_vs_one(tmp_path):
+    # Per-batch-element dumps + many-vs-one file comparison
+    # (FileWriter.h:78-169 / AccuracyCalculator.h:349-658 analogs).
+    from tensorfft_tpu.testing.io import (
+        compare_many_result_files,
+        compare_result_files,
+        read_result_batch_from_files,
+        write_result_batch_to_files,
+        write_results_to_file,
+    )
+
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal((3, 64))
+    im = rng.standard_normal((3, 64))
+    paths = write_result_batch_to_files(tmp_path / "batch", re, im)
+    assert len(paths) == 3
+    r2, i2 = read_result_batch_from_files(paths)
+    np.testing.assert_allclose(r2, re, rtol=1e-15)
+    np.testing.assert_allclose(i2, im, rtol=1e-15)
+
+    ref_path = tmp_path / "oracle.dat"
+    write_results_to_file(ref_path, re[1], im[1])
+    devs = compare_many_result_files(paths, ref_path)
+    assert devs[1].maximum == 0.0
+    assert devs[0].maximum > 0.0
+
+    d = compare_result_files(paths[2], ref_path)
+    assert d.maximum == devs[2].maximum
+
+    # Length mismatch is a typed error.
+    import pytest
+
+    short = tmp_path / "short.dat"
+    write_results_to_file(short, re[0, :32], im[0, :32])
+    with pytest.raises(ValueError):
+        compare_result_files(paths[0], short)

@@ -172,3 +172,43 @@ def test_pencil_1d_overlap_rejects_indivisible(mesh8):
     with pytest.raises(ValueError):
         pencil_fft_1d(np.ones((1, 256)), np.ones((1, 256)), mesh8,
                       n1=16, overlap=3)
+
+
+def test_overlap_auto_pencil_paths(mesh8):
+    # overlap="auto" consults the ICI/compute model (utils.device
+    # .overlap_estimate) and must produce identical results to overlap=1.
+    n = 1 << 12
+    rng = np.random.default_rng(7)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    o_re, o_im = pencil_fft_1d(re, im, mesh8, precision="float32",
+                               overlap="auto")
+    want = np.fft.fft(re + 1j * im) / n
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert np.abs(got - want).max() < 1e-5
+
+    nx = ny = nz = 16
+    re3 = rng.standard_normal((nx, ny, nz))
+    im3 = rng.standard_normal((nx, ny, nz))
+    o3_re, o3_im = pencil_fft_3d(re3, im3, mesh8, precision="float32",
+                                 overlap="auto")
+    want3 = np.fft.fftn(re3 + 1j * im3) / (nx * ny * nz)
+    got3 = np.asarray(o3_re, np.float64) + 1j * np.asarray(o3_im, np.float64)
+    assert np.abs(got3 - want3).max() < 1e-5
+
+
+def test_resolve_overlap_clamps_to_divisors():
+    from tensorfft_tpu.parallel.pencil import resolve_overlap
+
+    # Integer passthrough.
+    assert resolve_overlap(4, 1 << 20, 8, 1e-3, [1, 2, 4]) == 4
+    # Auto with balanced comm/compute on a big message recommends > 1,
+    # clamped to the legal divisor list.
+    from tensorfft_tpu.utils.device import all_to_all_seconds, device_spec
+
+    spec = device_spec()
+    t = all_to_all_seconds(64 << 20, 8, spec)
+    c = resolve_overlap("auto", 64 << 20, 8, t, [1, 2])
+    assert c in (1, 2)
+    # No legal divisor -> 1.
+    assert resolve_overlap("auto", 64 << 20, 8, t, []) == 1
