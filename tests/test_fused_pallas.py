@@ -157,3 +157,29 @@ def test_kernel_entry_typed_errors():
         four_step_pallas.fft2_fused(
             jnp.zeros((2, 8, 8)), jnp.zeros((2, 8, 4)),
             radices1=(8,), radices2=(8,), scales1=(1.0,), scales2=(1.0,))
+
+
+def test_kloop_width_variants_match_oracle():
+    # kloop_width packs g twiddled slices per stage matmul along lanes; any
+    # width must be bit-compatible with the same plan at width 128 (g=1)
+    # within storage rounding, and match the fp64 oracle at gate tolerances.
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tensorfft_tpu as tfft
+
+    n, batch = 2048, 16
+    rng = np.random.default_rng(3)
+    re = rng.standard_normal((batch, n)).astype(np.float32)
+    im = rng.standard_normal((batch, n)).astype(np.float32)
+    want = np.fft.fft(re + 1j * im, axis=-1) / n
+
+    for width in (128, 512, 4096):
+        plan = tfft.create_plan(
+            n, precision="float32",
+            tuning={"radices": (16, 16, 8), "strategy": "fused",
+                    "kloop_width": width},
+        )
+        o_re, o_im = tfft.fft_split(re, im, plan)
+        got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+        assert np.abs(got - want).max() < 1e-5, width
