@@ -40,7 +40,8 @@ def _measure_config(n, batch, precision, smoke):
 
     # "auto" consults the committed autotuner cache (reference-workflow parity:
     # its bench reads TunerResults.dat back through CreatePlan, Plan.h:197-255).
-    plan = tfft.create_plan(n, precision=precision, tuning="auto")
+    plan = tfft.create_plan(n, precision=precision, tuning="auto",
+                            batch_hint=batch)
     plan_base = tfft.create_plan(n, precision=precision, strategy="staged")
 
     from tensorfft_tpu.tuning.tuner import chain_step_for_plan

@@ -140,6 +140,7 @@ def _fft_split_core(re, im, plan, forward):
             sign=sign, lane_tile=plan.lane_tile,
             algorithm=plan.precision.dot_algorithm,
             grouped=plan.grouped,
+            state_dtype=plan.state_dtype,
         )
         return (
             out_re.reshape(*batch_shape, n),

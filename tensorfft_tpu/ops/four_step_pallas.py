@@ -171,6 +171,11 @@ def four_step_fft(
     k1_tile = min(128, n1)
     if n1 % k1_tile != 0:
         raise ValueError(f"n1={n1} not divisible by k1 tile {k1_tile}")
+    if min(t, k1_tile) < 128:
+        # Mosaic cannot shape-cast bf16 vectors whose lane dim is below the
+        # 128-lane register width ("infer-vector-layout: unsupported shape
+        # cast"); narrow panels fall back to fp32 state.
+        state_dtype = "float32"
 
     def batch_tile(panel_elems: int) -> int:
         # Enough batch elements per program to keep the block around 512K

@@ -408,6 +408,13 @@ def create_plan(
         four_step_split = (int(split[0]), int(split[1]))
         col_radices = optimal_radices(four_step_split[0])
         row_radices = optimal_radices(four_step_split[1])
+        # Per-pass radix orders are tunable: descending orders put the small
+        # radices in later (twiddled) stages where the grouped block-diagonal
+        # packing applies (same finding as the fused small-N retune).
+        if tuning.get("col_radices"):
+            col_radices = tuple(int(r) for r in tuning["col_radices"])
+        if tuning.get("row_radices"):
+            row_radices = tuple(int(r) for r in tuning["row_radices"])
 
     if radices is None:
         radices = optimal_radices(fft_length)

@@ -45,6 +45,8 @@ class RunConfig:
     lane_tile: int = 128
     grouped: bool = False
     state_dtype: str = "float32"
+    col_radices: Optional[Tuple[int, ...]] = None
+    row_radices: Optional[Tuple[int, ...]] = None
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -56,6 +58,10 @@ class RunConfig:
             t["grouped"] = True
         if self.state_dtype != "float32":
             t["state_dtype"] = self.state_dtype
+        if self.col_radices is not None:
+            t["col_radices"] = self.col_radices
+        if self.row_radices is not None:
+            t["row_radices"] = self.row_radices
         return t
 
 
@@ -98,8 +104,9 @@ def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -
         splits.append(base)
         for shift in (1, 2):
             p1 = p // 2 - shift
-            if 0 < p1 and p - p1 <= pf:
-                splits.append((1 << p1, 1 << (p - p1)))
+            cand = (1 << p1, 1 << (p - p1))
+            if 0 < p1 and p - p1 <= pf and cand not in splits:
+                splits.append(cand)
         space = {
             "radices": [None],
             "strategy": ["four_step"],
@@ -131,6 +138,25 @@ def get_run_configs(space: dict) -> List[RunConfig]:
                           four_step_split=split, lane_tile=lane_tile,
                           grouped=True)
             )
+        if strategy == "four_step" and split is not None:
+            # Per-pass descending radix orders (small radices in the twiddled
+            # tail stages, where the grouped block-diagonal packing applies —
+            # the same structure that won the fused small-N retune).
+            asc1, asc2 = optimal_radices(split[0]), optimal_radices(split[1])
+            desc1, desc2 = tuple(reversed(asc1)), tuple(reversed(asc2))
+            if (desc1, desc2) != (asc1, asc2):
+                configs.append(
+                    RunConfig(strategy=strategy, four_step_split=split,
+                              lane_tile=lane_tile,
+                              col_radices=desc1, row_radices=desc2)
+                )
+                if _groupable(desc1) or _groupable(desc2):
+                    configs.append(
+                        RunConfig(strategy=strategy, four_step_split=split,
+                                  lane_tile=lane_tile,
+                                  col_radices=desc1, row_radices=desc2,
+                                  grouped=True)
+                    )
     return configs
 
 
@@ -165,6 +191,10 @@ def chain_step_for_plan(plan, forward: bool = True):
         lane_tile=plan.lane_tile,
         tuning={
             "four_step_split": (n2, n1),
+            # Swapped split means swapped pass radices, so the inverse arm
+            # exercises the same per-pass configurations as the forward.
+            "col_radices": plan.row_radices,
+            "row_radices": plan.col_radices,
             **({"grouped": True} if plan.grouped else {}),
             **({"state_dtype": plan.state_dtype}
                if plan.state_dtype != "float32" else {}),
@@ -223,6 +253,10 @@ def _config_from_entry(entry: dict) -> RunConfig:
         lane_tile=int(entry.get("lane_tile", 128)),
         grouped=bool(entry.get("grouped", False)),
         state_dtype=str(entry.get("state_dtype", "float32")),
+        col_radices=tuple(entry["col_radices"])
+        if entry.get("col_radices") else None,
+        row_radices=tuple(entry["row_radices"])
+        if entry.get("row_radices") else None,
     )
 
 

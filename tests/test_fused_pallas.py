@@ -183,3 +183,51 @@ def test_kloop_width_variants_match_oracle():
         o_re, o_im = tfft.fft_split(re, im, plan)
         got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
         assert np.abs(got - want).max() < 1e-5, width
+
+
+def test_four_step_pass_radices_tuning_through_public_api():
+    """Tuned per-pass radix orders (col_radices/row_radices, incl. descending
+    + grouped — the widened four-step tuner search) must be gate-grade
+    through create_plan -> fft_split and must round-trip the cache format."""
+    import numpy as np
+
+    import tensorfft_tpu as tfft
+
+    n, batch = 1 << 16, 2
+    rng = np.random.default_rng(7)
+    re = rng.standard_normal((batch, n)).astype(np.float32)
+    im = rng.standard_normal((batch, n)).astype(np.float32)
+    want = np.fft.fft(re + 1j * im, axis=-1) / n
+
+    for tuning in (
+        {"strategy": "four_step", "four_step_split": (128, 512),
+         "col_radices": (128,), "row_radices": (32, 16), "grouped": True},
+        # state_dtype=bfloat16 with a sub-128 k1_tile exercises the fp32
+        # fallback guard (Mosaic cannot shape-cast narrow bf16 vectors).
+        {"strategy": "four_step", "four_step_split": (64, 1024),
+         "state_dtype": "bfloat16"},
+    ):
+        plan = tfft.create_plan(n, precision="float32", tuning=tuning)
+        if "col_radices" in tuning:
+            assert plan.col_radices == tuning["col_radices"]
+            assert plan.row_radices == tuning["row_radices"]
+        o_re, o_im = tfft.fft_split(re, im, plan)
+        got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+        assert np.abs(got - want).max() < 1e-4, tuning
+
+
+def test_tuner_four_step_search_includes_pass_radix_variants():
+    from tensorfft_tpu.tuning.tuner import (
+        RunConfig, _config_from_entry, get_run_configs, get_search_space,
+    )
+
+    cfgs = get_run_configs(get_search_space(1 << 16))
+    assert len(cfgs) == len(set(cfgs)), "duplicate configs in the sweep"
+    descs = [c for c in cfgs if c.col_radices or c.row_radices]
+    assert descs, "expected per-pass radix variants for four-step lengths"
+    assert any(c.grouped for c in descs)
+    # Cache round trip: entry -> RunConfig -> tuning dict keeps the radices.
+    c = descs[0]
+    entry = {k: list(v) if isinstance(v, tuple) else v
+             for k, v in c.as_tuning().items()}
+    assert _config_from_entry(entry) == c
