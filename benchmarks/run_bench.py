@@ -20,6 +20,11 @@ def main():
                     help="total elements per measurement (batch = elems/N)")
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--use-cache", action="store_true")
+    ap.add_argument("--windows", type=int, default=3,
+                    help="chain_measure windows per row; the row reports the "
+                         "median (cross-window drift reaches tens of percent "
+                         "on the shared relay — single windows are not "
+                         "decision-grade)")
     ap.add_argument("--out", default="BenchResults.dat")
     args = ap.parse_args()
 
@@ -40,7 +45,10 @@ def main():
     n = args.start
     while n <= args.end:
         batch = max(1, args.batch_elems // n)
-        tuning = cache.get(n, args.precision, platform) if cache else None
+        tuning = (
+            cache.get(n, args.precision, platform, batch=batch)
+            if cache else None
+        )
         plan = tfft.create_plan(n, precision=args.precision, tuning=tuning)
         rng = np.random.default_rng(0)
         re = jnp.asarray(rng.standard_normal((batch, n)), storage)
@@ -48,14 +56,20 @@ def main():
         # Layout-stationary step (four-step measures fwd+inv and halves;
         # see tuning.tuner.chain_step_for_plan).
         fn, divisor = chain_step_for_plan(plan)
-        r = chain_measure(fn, (re, im))
-        t_ns = r.average_time_ns / divisor
+        ts = []
+        for _ in range(max(1, args.windows)):
+            r = chain_measure(fn, (re, im))
+            t = r.average_time_ns / divisor
+            if not np.isnan(t):
+                ts.append(t)
+        ts = ts or [float("nan")]
+        t_ns = float(np.median(ts))
         flops = 5.0 * n * float(np.log2(n)) * batch
         gflops = flops / t_ns
         rows.append({
             "fft_length": n, "batch": batch,
             "avg_time_us": t_ns / 1e3,
-            "sigma_us": r.std_deviation_ns / divisor / 1e3,
+            "sigma_us": float(np.std(ts)) / 1e3,
             "gflops": gflops,
             "strategy": plan.resolve_strategy().value,
             "tuned": tuning is not None,

@@ -71,6 +71,7 @@ def _block_engine(plan: FFTPlan):
                 grouped=plan.grouped,
                 state_dtype=plan.state_dtype,
                 kloop_width=plan.kloop_width,
+                complex_mult=plan.complex_mult,
             )
 
         return engine
@@ -141,6 +142,7 @@ def _fft_split_core(re, im, plan, forward):
             algorithm=plan.precision.dot_algorithm,
             grouped=plan.grouped,
             state_dtype=plan.state_dtype,
+            complex_mult=plan.complex_mult,
         )
         return (
             out_re.reshape(*batch_shape, n),
@@ -163,7 +165,7 @@ def _fft_split_core(re, im, plan, forward):
             re.reshape(b, n), im.reshape(b, n),
             radices=plan.radices, scales=scales, sign=sign,
             algorithm=plan.precision.dot_algorithm, grouped=plan.grouped,
-            state_dtype=plan.state_dtype,
+            state_dtype=plan.state_dtype, complex_mult=plan.complex_mult,
         )
         return (
             out_re.reshape(*batch_shape, n),

@@ -43,7 +43,8 @@ __all__ = ["four_step_fft", "fft2_fused", "fused_fft_batch_major"]
 
 
 def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
-                grouped=False, state_dtype=jnp.float32):
+                grouped=False, state_dtype=jnp.float32,
+                complex_mult="block"):
     """Pass K1: (bt, n1, T) block -> bt panels of n1-point FFTs
     (+ four-step twiddle).
 
@@ -84,7 +85,8 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
             [re_ref[i].astype(state_dtype), im_ref[i].astype(state_dtype)]
         )
         state, _ = stage_loop(state, table_refs, radices, algorithm, n1, t,
-                              grouped=grouped, state_dtype=state_dtype)
+                              grouped=grouped, state_dtype=state_dtype,
+                              complex_mult=complex_mult)
         state = state.reshape(2, n1, t).astype(jnp.float32)
         if twiddle:
             o_re = state[0] * w_re - state[1] * w_im
@@ -96,7 +98,8 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
 
 
 def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
-                grouped=False, state_dtype=jnp.float32):
+                grouped=False, state_dtype=jnp.float32,
+                complex_mult="block"):
     """Pass K2: transposed-read (bt, k1_tile, n2) block -> n2-point FFTs.
 
     transposed=True writes each (n2, k1_tile) result at the digit-swapped
@@ -116,7 +119,8 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
         ])
         state, _ = stage_loop(state, table_refs, radices, algorithm, n2,
                               k1_tile, grouped=grouped,
-                              state_dtype=state_dtype)
+                              state_dtype=state_dtype,
+                              complex_mult=complex_mult)
         state = state.reshape(2, n2, k1_tile)
         if transposed:
             out_re_ref[i] = state[0].astype(out_re_ref.dtype)
@@ -131,6 +135,7 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
     static_argnames=(
         "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
         "lane_tile", "algorithm", "interpret", "grouped", "state_dtype",
+        "complex_mult",
     ),
 )
 def four_step_fft(
@@ -149,6 +154,7 @@ def four_step_fft(
     interpret: bool | None = None,
     grouped: bool = False,
     state_dtype: str = "float32",
+    complex_mult: str = "block",
 ):
     """Large-N FFT on batch-major (B, N) planes, N = n1*n2.
 
@@ -218,7 +224,8 @@ def four_step_fft(
     ]
     sd = jnp.dtype(state_dtype)
     kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t, bt1,
-                                      grouped=grouped, state_dtype=sd)
+                                      grouped=grouped, state_dtype=sd,
+                                      complex_mult=complex_mult)
     mid_re, mid_im = pl.pallas_call(
         kern1,
         grid=(b // bt1, n2 // t),
@@ -249,7 +256,8 @@ def four_step_fft(
         for a in tables2
     ]
     kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile,
-                                      bt2, grouped=grouped, state_dtype=sd)
+                                      bt2, grouped=grouped, state_dtype=sd,
+                                      complex_mult=complex_mult)
     out_re, out_im = pl.pallas_call(
         kern2,
         grid=(b // bt2, n1 // k1_tile),
@@ -392,7 +400,7 @@ def fft2_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "algorithm", "interpret",
-                     "grouped", "state_dtype"),
+                     "grouped", "state_dtype", "complex_mult"),
 )
 def fused_fft_batch_major(
     re,
@@ -405,6 +413,7 @@ def fused_fft_batch_major(
     interpret: bool | None = None,
     grouped: bool = False,
     state_dtype: str = "float32",
+    complex_mult: str = "block",
 ):
     """Whole-transform FFT on batch-major (B, N) planes in ONE Pallas pass.
 
@@ -451,7 +460,8 @@ def fused_fft_batch_major(
             im_ref[:].T.astype(sd),
         ])
         state, _ = stage_loop(state, table_refs, radices, algorithm, n,
-                              row_tile, grouped=grouped, state_dtype=sd)
+                              row_tile, grouped=grouped, state_dtype=sd,
+                              complex_mult=complex_mult)
         state = state.reshape(2, n, row_tile)
         out_re_ref[:] = state[0].T.astype(out_re_ref.dtype)
         out_im_ref[:] = state[1].T.astype(out_im_ref.dtype)

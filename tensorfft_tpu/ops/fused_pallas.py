@@ -173,9 +173,33 @@ def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool):
     return arrays
 
 
+def _mult3(bd, z_re, z_im, radix, algorithm, sd):
+    """Complex matmul via 3 real matmuls (Karatsuba / Gauss trick).
+
+    For radix >= 128 the (2R, 2R) block-complex matmul costs 4R padded
+    MACs/element while three (R, R) matmuls cost 3R — a 25% MXU saving
+    exactly where the fused kernel is MXU-bound (radix-128 stages at
+    N >= 8192).  Below R=128 the three matmuls each pad K up to the
+    128-wide systolic array and the trick loses; callers gate on the radix.
+
+      t1 = D_re @ re;  t2 = D_im @ im;  t3 = (D_re + D_im) @ (re + im)
+      out_re = t1 - t2;  out_im = t3 - t1 - t2
+
+    D_re/D_im are sliced from the same BD table the block path uses (BD =
+    [[D_re, -D_im], [D_im, D_re]]), so table formats are unchanged.
+    """
+    d_re = bd[:radix, :radix]
+    d_im = bd[radix:, :radix]
+    t1 = dots.dot(d_re, z_re, algorithm)
+    t2 = dots.dot(d_im, z_im, algorithm)
+    t3 = dots.dot((d_re.astype(jnp.float32) + d_im.astype(jnp.float32))
+                  .astype(bd.dtype), z_re + z_im, algorithm)
+    return jnp.stack([(t1 - t2).astype(sd), (t3 - t1 - t2).astype(sd)])
+
+
 def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                grouped: bool = False, state_dtype=jnp.float32,
-               kloop_width: int = _KLOOP_WIDTH):
+               kloop_width: int = _KLOOP_WIDTH, complex_mult: str = "block"):
     """Run the whole stage sequence on a stacked (2, n, t) state.
 
     The shared in-VMEM engine behind every kernel (whole-transform fused,
@@ -186,17 +210,26 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
     by default; bf16 halves in-VMEM state traffic (the analog of the
     reference storing fp16 between stages, TensorRadix16.cu:195-213) at the
     cost of one extra rounding per stage — matmuls still accumulate fp32.
+
+    ``complex_mult='mult3'`` runs radix >= 128 stages as three R x R real
+    matmuls instead of one 2R x 2R block matmul (see _mult3); smaller radices
+    keep the block form either way.
     """
     sd = state_dtype
     m = n
     for kind, radix, k, p in _stage_kinds(radices, grouped):
         m //= radix
+        use3 = complex_mult == "mult3" and radix >= 128
         if kind == "first":
             bd = table_refs[ti][:]
             ti += 1
-            z2 = state.reshape(2 * radix, m * t)
-            out = dots.dot(bd, z2, algorithm).astype(sd)
-            state = out.reshape(2, radix, m * t)
+            if use3:
+                zv = state.reshape(2, radix, m * t)
+                state = _mult3(bd, zv[0], zv[1], radix, algorithm, sd)
+            else:
+                z2 = state.reshape(2 * radix, m * t)
+                out = dots.dot(bd, z2, algorithm).astype(sd)
+                state = out.reshape(2, radix, m * t)
         elif kind == "grouped":
             g_tab = table_refs[ti][:]
             ti += 1
@@ -227,19 +260,22 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                 g *= 2
             outs = []
             for gi in range(k // g):
-                zks = []
+                zks_re, zks_im = [], []
                 for j in range(g):
                     kk = gi * g + j
                     sr32 = zv[0, kk].astype(jnp.float32)
                     si32 = zv[1, kk].astype(jnp.float32)
                     wr = w_re[:, kk][:, None].astype(jnp.float32)
                     wi = w_im[:, kk][:, None].astype(jnp.float32)
-                    zks.append(jnp.concatenate(
-                        [sr32 * wr - si32 * wi, sr32 * wi + si32 * wr],
-                        axis=0,
-                    ))
-                z_wide = zks[0] if g == 1 else jnp.concatenate(zks, axis=1)
-                out_g = dots.dot(bd, z_wide, algorithm).astype(sd)
+                    zks_re.append(sr32 * wr - si32 * wi)
+                    zks_im.append(sr32 * wi + si32 * wr)
+                wide_re = zks_re[0] if g == 1 else jnp.concatenate(zks_re, 1)
+                wide_im = zks_im[0] if g == 1 else jnp.concatenate(zks_im, 1)
+                if use3:
+                    out_g = _mult3(bd, wide_re, wide_im, radix, algorithm, sd)
+                else:
+                    z_wide = jnp.concatenate([wide_re, wide_im], axis=0)
+                    out_g = dots.dot(bd, z_wide, algorithm).astype(sd)
                 outs.append(out_g.reshape(2, radix, g, m * t))
             out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
             # (2, R, K/g, g, M*T) -> row index kk = gi*g + j, matching the
@@ -251,17 +287,27 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             w_im = table_refs[ti + 2][:].T[None, :, :, None]
             ti += 3
             zv = state.reshape(2, k, radix, m * t).astype(jnp.float32)
-            tw = jnp.stack([zv[0] * w_re[0] - zv[1] * w_im[0],
-                            zv[0] * w_im[0] + zv[1] * w_re[0]])
-            z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
-            out = dots.dot(bd, z2, algorithm).astype(sd)
+            tw_re = zv[0] * w_re[0] - zv[1] * w_im[0]
+            tw_im = zv[0] * w_im[0] + zv[1] * w_re[0]
+            if use3:
+                out = _mult3(
+                    bd,
+                    tw_re.swapaxes(0, 1).reshape(radix, k * m * t),
+                    tw_im.swapaxes(0, 1).reshape(radix, k * m * t),
+                    radix, algorithm, sd,
+                )
+            else:
+                tw = jnp.stack([tw_re, tw_im])
+                z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
+                out = dots.dot(bd, z2, algorithm).astype(sd)
             state = out.reshape(2, radix * k, m * t)
     return state, ti
 
 
 def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
                           grouped: bool = False, state_dtype=jnp.float32,
-                          kloop_width: int = _KLOOP_WIDTH):
+                          kloop_width: int = _KLOOP_WIDTH,
+                          complex_mult: str = "block"):
     """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
 
     State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
@@ -292,7 +338,7 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
     )
     state, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
                           grouped=grouped, state_dtype=state_dtype,
-                          kloop_width=kloop_width)
+                          kloop_width=kloop_width, complex_mult=complex_mult)
     out_re_ref[:] = state[0].reshape(n, t).astype(out_re_ref.dtype)
     out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
@@ -300,7 +346,8 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
-                     "interpret", "grouped", "state_dtype", "kloop_width"),
+                     "interpret", "grouped", "state_dtype", "kloop_width",
+                     "complex_mult"),
 )
 def fused_fft(
     re,
@@ -315,6 +362,7 @@ def fused_fft(
     grouped: bool = False,
     state_dtype: str = "float32",
     kloop_width: int = _KLOOP_WIDTH,
+    complex_mult: str = "block",
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
@@ -353,7 +401,8 @@ def fused_fft(
     sd = jnp.dtype(state_dtype)
     kernel = lambda *refs: fused_fft_kernel_body(refs, radices, algorithm,
                                                  grouped, state_dtype=sd,
-                                                 kloop_width=kloop_width)
+                                                 kloop_width=kloop_width,
+                                                 complex_mult=complex_mult)
 
     out_re, out_im = pl.pallas_call(
         kernel,

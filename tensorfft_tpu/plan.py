@@ -257,6 +257,12 @@ class FFTPlan:
     # the reference keeping fp16 in shared memory between fused stages
     # (TensorRadix16.cu:195-213); 'float32' is exactly-one-rounding-per-stage.
     state_dtype: str = "float32"
+    # Complex stage-matmul formulation: 'block' = one 2Rx2R block-complex
+    # matmul (the reference issues 4 WMMA mma_syncs, TensorRadix16.cu:166-176);
+    # 'mult3' = three RxR real matmuls (Gauss/Karatsuba), 25% fewer padded
+    # MACs for radix >= 128 stages (where the fused kernel is MXU-bound);
+    # stages below radix 128 keep the block form under either setting.
+    complex_mult: str = "block"
 
     def __post_init__(self):
         if not is_power_of_2(self.fft_length):
@@ -276,6 +282,8 @@ class FFTPlan:
             raise ValueError(f"bad fused_layout {self.fused_layout!r}")
         if self.state_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad state_dtype {self.state_dtype!r}")
+        if self.complex_mult not in ("block", "mult3"):
+            raise ValueError(f"bad complex_mult {self.complex_mult!r}")
         if self.four_step_split is not None:
             n1, n2 = self.four_step_split
             if n1 * n2 != self.fft_length:
@@ -390,6 +398,7 @@ def create_plan(
         fused_layout = str(tuning["fused_layout"])
     state_dtype = str(tuning.get("state_dtype", "float32"))
     kloop_width = int(tuning.get("kloop_width", 128))
+    complex_mult = str(tuning.get("complex_mult", "block"))
 
     four_step_split = None
     col_radices = None
@@ -437,6 +446,7 @@ def create_plan(
         fused_layout=fused_layout if fused_layout is not None else "auto",
         state_dtype=state_dtype,
         kloop_width=kloop_width,
+        complex_mult=complex_mult,
     )
 
 

@@ -47,6 +47,7 @@ class RunConfig:
     state_dtype: str = "float32"
     col_radices: Optional[Tuple[int, ...]] = None
     row_radices: Optional[Tuple[int, ...]] = None
+    complex_mult: str = "block"
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -62,6 +63,8 @@ class RunConfig:
             t["col_radices"] = self.col_radices
         if self.row_radices is not None:
             t["row_radices"] = self.row_radices
+        if self.complex_mult != "block":
+            t["complex_mult"] = self.complex_mult
         return t
 
 
@@ -257,26 +260,23 @@ def _config_from_entry(entry: dict) -> RunConfig:
         if entry.get("col_radices") else None,
         row_radices=tuple(entry["row_radices"])
         if entry.get("row_radices") else None,
+        complex_mult=str(entry.get("complex_mult", "block")),
     )
 
 
-def _state_dtype_head_to_head(n, best_cfg, best_ns, batch, precision):
-    """Challenge the sweep winner with its bfloat16-state twin.
+def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt):
+    """Challenge the sweep winner with a single-knob twin via an interleaved
+    chain_compare (decision-grade) instead of doubling the whole sweep.
 
-    state_dtype halves in-VMEM state traffic (see ops/fused_pallas.stage_loop)
-    but costs one rounding per stage; measured per length via an interleaved
-    chain_compare instead of doubling the whole sweep.
+    Used for state_dtype (bf16 state halves in-VMEM traffic at one extra
+    rounding per stage) and complex_mult (mult3 cuts radix>=128 stage MACs
+    25% at the cost of extra VPU combines).
     """
     import jax.numpy as jnp
 
     from tensorfft_tpu.plan import Precision
     from tensorfft_tpu.testing.timer import chain_compare
 
-    alt = dataclasses.replace(
-        best_cfg,
-        state_dtype="bfloat16" if best_cfg.state_dtype == "float32"
-        else "float32",
-    )
     try:
         p_a = create_plan(n, precision=precision, tuning=best_cfg.as_tuning())
         p_b = create_plan(n, precision=precision, tuning=alt.as_tuning())
@@ -333,9 +333,35 @@ def tune(
         measure_kwargs=measure_kwargs,
     )
     best_cfg, best_ns = min(results, key=lambda r: r[1])
-    best_cfg, best_ns = _state_dtype_head_to_head(
-        n, best_cfg, best_ns, batch=batch, precision=precision
+    best_cfg, best_ns = _twin_head_to_head(
+        n, best_cfg, best_ns, batch, precision,
+        dataclasses.replace(
+            best_cfg,
+            state_dtype="bfloat16" if best_cfg.state_dtype == "float32"
+            else "float32",
+        ),
     )
+    # mult3 only changes radix >= 128 stages; challenge when one exists.
+    stage_radices = []
+    for rads in (best_cfg.radices,
+                 best_cfg.col_radices
+                 or (optimal_radices(best_cfg.four_step_split[0])
+                     if best_cfg.four_step_split else None),
+                 best_cfg.row_radices
+                 or (optimal_radices(best_cfg.four_step_split[1])
+                     if best_cfg.four_step_split else None)):
+        stage_radices += list(rads or ())
+    if not best_cfg.radices and not best_cfg.four_step_split:
+        stage_radices += list(optimal_radices(n))
+    if any(r >= 128 for r in stage_radices):
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(
+                best_cfg,
+                complex_mult="mult3" if best_cfg.complex_mult == "block"
+                else "block",
+            ),
+        )
     if incumbent_cfg is not None and best_cfg != incumbent_cfg:
         import jax.numpy as jnp
 

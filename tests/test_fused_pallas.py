@@ -231,3 +231,34 @@ def test_tuner_four_step_search_includes_pass_radix_variants():
     entry = {k: list(v) if isinstance(v, tuple) else v
              for k, v in c.as_tuning().items()}
     assert _config_from_entry(entry) == c
+
+
+def test_mult3_matches_block_and_oracle():
+    """complex_mult='mult3' (3 real matmuls per radix>=128 stage) must stay
+    gate-grade vs the fp64 oracle across stage kinds: 'first' + 'kloop'
+    (N=16384, radices 128x128), 'big' (N=65536, radices (128,4,128) puts a
+    radix-128 stage at K=512 > _MAX_KLOOP), and the four-step passes."""
+    import numpy as np
+
+    import tensorfft_tpu as tfft
+
+    rng = np.random.default_rng(11)
+
+    def check(n, tuning, batch=2, tol=1e-4):
+        re = rng.standard_normal((batch, n)).astype(np.float32)
+        im = rng.standard_normal((batch, n)).astype(np.float32)
+        want = np.fft.fft(re + 1j * im, axis=-1) / n
+        plan = tfft.create_plan(n, precision="float32", tuning=tuning)
+        assert plan.complex_mult == "mult3"
+        o_re, o_im = tfft.fft_split(re, im, plan)
+        got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+        err = np.abs(got - want).max()
+        assert err < tol, (n, tuning, err)
+
+    check(16384, {"strategy": "fused", "radices": (128, 128),
+                  "complex_mult": "mult3"}, batch=1)
+    check(65536, {"strategy": "fused", "radices": (128, 4, 128),
+                  "complex_mult": "mult3", "max_fused_length": 65536}, batch=1)
+    check(1 << 16, {"strategy": "four_step", "four_step_split": (128, 512),
+                    "col_radices": (128,), "row_radices": (4, 128),
+                    "complex_mult": "mult3"})
