@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--end", type=int, default=16 ** 5)
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--precision", default="bfloat16")
+    ap.add_argument("--tuning", default=None,
+                    help="'auto' sweeps each length under its tuner-cache "
+                         "winner instead of the default plan")
     args = ap.parse_args()
 
     from tensorfft_tpu.testing.conformance import run_unit_sweep
@@ -26,6 +29,7 @@ def main():
         end_fft_length=args.end,
         runs_per_fft_length=args.runs,
         precision=args.precision,
+        tuning=args.tuning,
     )
     return 0 if ok else 1
 

@@ -88,10 +88,15 @@ def run_unit_sweep(
     highest_harmonic: int = REFERENCE_SWEEP["highest_harmonic"],
     precision: str = "bfloat16",
     verbose: bool = True,
+    tuning=None,
 ) -> bool:
     """UnitTest.cu main() analog: full sweep, abort on first failure.
 
     Seeds 42*i / 42*42*i per run exactly as UnitTest.cu:21-24.
+
+    ``tuning="auto"`` runs every length under its autotuner-cache winner
+    (grouped/descending-radix/bf16-state configs included), so the gate
+    certifies the configurations production plans actually use.
     """
     weights = [
         (
@@ -107,7 +112,7 @@ def run_unit_sweep(
         for j in range(runs_per_fft_length):
             ok, d = test_full_fft(
                 n, weights_re=weights[j][0], weights_im=weights[j][1],
-                precision=precision,
+                precision=precision, tuning=tuning,
             )
             if not ok:
                 print(f"Error! Test at fft_length: {n} failed! {d}")
