@@ -55,7 +55,7 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
     """
     re_ref, im_ref = refs[0], refs[1]
     if twiddle:
-        p_ref, q_ref = refs[2], refs[3]  # (2, n1, n2//T) resident, (2, n1, T)
+        p_ref, q_ref = refs[2], refs[3]  # (1, 2, n1) this block's col, (2, n1, T)
         table_refs = refs[4:-2]
     else:
         table_refs = refs[2:-2]
@@ -63,20 +63,16 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
 
     if twiddle:
         # Four-step twiddle W = P[:, block] * Q (complex), fp32 on the VPU.
-        # The P table stays VMEM-resident in full (it is O(n1 * n2/T), tiny);
-        # Mosaic cannot prove lane-dim dynamic slices aligned, so the block's
-        # column is extracted with a one-hot matmul (blocks <= n2/T).
-        it = pl.program_id(1)
-        blocks = p_ref.shape[2]
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (blocks, 1), 0) == it
-                  ).astype(jnp.float32)
-        # HIGHEST precision: the default matmul truncates operands to bf16 on
-        # TPU, which would round the twiddle phases to ~4e-3 and dominate the
-        # whole transform's error (caught by the accuracy-vs-N curve).
-        p_re = jax.lax.dot(p_ref[0], onehot, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        p_im = jax.lax.dot(p_ref[1], onehot, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+        # P arrives BLOCKED, (blocks, 2, n1) sliced to this program's
+        # (1, 2, n1) slab — a VMEM-resident (2, n1, blocks) table at
+        # n1 = 16384 costs 4-64 MiB and tipped the K1 pass over the scoped
+        # VMEM limit for 2^26/2^27 splits.  The slab stores k1 along lanes,
+        # so one small (2, n1) -> (n1, 2) transpose re-orients it to the
+        # (sublane = k1) layout the state uses; fp64-accurate phases are
+        # preserved (no matmul extraction, so no bf16 operand truncation).
+        p_t = p_ref[0].T  # (n1, 2)
+        p_re = p_t[:, 0:1]
+        p_im = p_t[:, 1:2]
         w_re = p_re * q_ref[0] - p_im * q_ref[1]
         w_im = p_re * q_ref[1] + p_im * q_ref[0]
 
@@ -204,7 +200,12 @@ def four_step_fft(
     p_re, p_im, q_re, q_im = dft.four_step_twiddle_factors(
         n1, n2, t, dtype=np.float32, sign=sign
     )
-    p_tab = jnp.asarray(np.stack([p_re, p_im]))      # (2, n1, n2//t)
+    # (blocks, 2, n1): block a's column P[:, :, a] as a lane-major slab, so
+    # the kernel DMAs one 131 KB slab per grid step instead of holding the
+    # whole table resident (O(n1 * n2/t) — up to 64 MiB at n1 = 16384).
+    p_tab = jnp.asarray(
+        np.stack([p_re, p_im]).transpose(2, 0, 1).copy()
+    )
     q_tab = jnp.asarray(np.stack([q_re, q_im]))      # (2, n1, t)
     tables1 = stage_table_arrays(radices1, scales1, sign, algorithm, grouped)
 
@@ -212,7 +213,7 @@ def four_step_fft(
         (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
     p_spec = pl.BlockSpec(
-        (2, n1, n2 // t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
+        (1, 2, n1), lambda ib, it: (it, 0, 0), memory_space=pltpu.VMEM
     )
     q_spec = pl.BlockSpec(
         (2, n1, t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM

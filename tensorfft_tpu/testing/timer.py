@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
@@ -99,12 +99,47 @@ def measure(
     )
 
 
+def _calibrate_spans(
+    timed: Callable,
+    iters_low: int,
+    iters_high: int,
+    target_seconds: float,
+    max_iters: int = 8192,
+) -> tuple:
+    """Scale the chain so it runs ~``target_seconds`` of device work.
+
+    The slope method cancels *constant* dispatch/fetch latency, but the
+    relay's per-call jitter (tens of ms) lands directly on the slope
+    numerator: with the stock 32-iteration span and a ~250 us step that is a
+    double-digit-percent error, measured as 16-48% sigma across windows.
+    Stretching the span until the chain itself runs hundreds of ms drowns the
+    jitter: the same configs then repeat at 0.1-0.4% sigma, and the probe
+    rates match sustained hardware rooflines (v5e: 82% of HBM peak for a pure
+    copy, 94% of bf16 matmul peak — measured with this exact calibration).
+    """
+    t_lo = timed(iters_low)
+    t_hi = timed(iters_high)
+    slope_ns = (t_hi - t_lo) / (iters_high - iters_low)
+    if not slope_ns > 0:  # noisy first pair — fall back to the gross rate
+        slope_ns = t_hi / iters_high
+    k_hi = int(target_seconds * 1e9 / max(slope_ns, 1.0))
+    k_hi = max(iters_high, min(k_hi, max_iters))
+    if k_hi == iters_high:  # step already long enough — keep warm spans
+        return iters_low, iters_high
+    # Promote the already-compiled warm chain to the low arm so calibration
+    # costs ONE extra compile, not two (TPU chain compiles run tens of
+    # seconds; a fresh k_lo would double that for no precision gain — the
+    # high chain dominates both the span and the pair's wall time).
+    return iters_high, k_hi
+
+
 def chain_measure(
     step: Callable,
     args: Sequence,
-    iters_low: int = 4,
-    iters_high: int = 36,
+    iters_low: Optional[int] = None,
+    iters_high: Optional[int] = None,
     reps: int = 5,
+    target_seconds: float = 0.2,
 ) -> BenchResult:
     """Per-iteration device time of ``step`` via the chained-slope method.
 
@@ -115,14 +150,32 @@ def chain_measure(
     device execution and the slope cancels dispatch/fetch/tunnel latency —
     required on remote-relay backends where block_until_ready resolves before
     the device has executed (measured artifacts exceeded hardware rooflines by
-    >100x).  Validated on v5e at 88% of bf16 matmul peak / 92% of HBM
-    bandwidth against a plain jnp.dot / elementwise chain.
+    >100x).
+
+    By default the chain length is auto-calibrated so each chain runs
+    ~``target_seconds`` of device work (see :func:`_calibrate_spans` — the
+    stock 32-iteration span leaves the slope exposed to relay jitter, the
+    round-1/round-2 source of 16-70% cross-window drift).  Passing explicit
+    ``iters_low``/``iters_high`` pins the spans and disables calibration.
+    Validated on v5e at 94% of bf16 matmul peak / 82% of HBM bandwidth
+    against plain jnp.dot / elementwise chains (sustained rates; sigma <1%).
     """
+    fixed = iters_low is not None or iters_high is not None
+    iters_low = 4 if iters_low is None else iters_low
+    iters_high = 36 if iters_high is None else iters_high
     timed = _make_chain_timer(step, args)
 
     # compile + warm both chain lengths
     timed(iters_low)
     timed(iters_high)
+
+    if not fixed and target_seconds:
+        new_lo, new_hi = _calibrate_spans(timed, iters_low, iters_high,
+                                          target_seconds)
+        if (new_lo, new_hi) != (iters_low, iters_high):
+            iters_low, iters_high = new_lo, new_hi
+            timed(iters_low)  # compile + warm the calibrated lengths
+            timed(iters_high)
 
     # Interleave low/high runs so slow drift of the backend (shared relay,
     # thermal state) cancels within each adjacent pair; report the median of
@@ -181,9 +234,10 @@ def chain_compare(
     step_a: Callable,
     step_b: Callable,
     args: Sequence,
-    iters_low: int = 4,
-    iters_high: int = 36,
+    iters_low: Optional[int] = None,
+    iters_high: Optional[int] = None,
     reps: int = 7,
+    target_seconds: float = 0.2,
 ) -> tuple:
     """Decision-grade A/B comparison of two step functions on one input.
 
@@ -194,14 +248,36 @@ def chain_compare(
     B back-to-back (A_low, B_low, A_high, B_high), so the drift is common
     mode within a round; the median over rounds is reported for each.
 
+    Spans are auto-calibrated to ~``target_seconds`` of device work per chain
+    (sized by the slower arm) unless explicit ``iters_low``/``iters_high``
+    pin them — see :func:`_calibrate_spans` for why.
+
     Returns (BenchResult_a, BenchResult_b).
     """
+    fixed = iters_low is not None or iters_high is not None
+    iters_low = 4 if iters_low is None else iters_low
+    iters_high = 36 if iters_high is None else iters_high
     timed_a = _make_chain_timer(step_a, args)
     timed_b = _make_chain_timer(step_b, args)
     # compile + warm all four chains
     for timed in (timed_a, timed_b):
         timed(iters_low)
         timed(iters_high)
+
+    if not fixed and target_seconds:
+        lo_a, hi_a = _calibrate_spans(timed_a, iters_low, iters_high,
+                                      target_seconds)
+        lo_b, hi_b = _calibrate_spans(timed_b, iters_low, iters_high,
+                                      target_seconds)
+        # One common span pair, sized by the slower arm, keeps the rounds
+        # symmetric (sizing by the faster arm would stretch the slower chain
+        # far past target and slow the sweep for no precision gain).
+        new_lo, new_hi = min(lo_a, lo_b), min(hi_a, hi_b)
+        if (new_lo, new_hi) != (iters_low, iters_high):
+            iters_low, iters_high = new_lo, new_hi
+            for timed in (timed_a, timed_b):
+                timed(iters_low)
+                timed(iters_high)
 
     slopes_a: list = []
     slopes_b: list = []

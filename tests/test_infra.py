@@ -130,3 +130,29 @@ def test_overlap_perf_model():
 
     # Single device: no comm at all.
     assert all_to_all_seconds(local_bytes, 1, v5p) == 0.0
+
+
+def test_chain_span_calibration():
+    # Auto-calibration targets ~target_seconds of device work per chain and
+    # respects floors/caps; explicit spans disable it (back-compat for smoke
+    # modes and CI).  Relay jitter on a 32-iteration span was the round-1/2
+    # source of 16-70% cross-window drift; calibrated spans measure the same
+    # config at <1% sigma on v5e.
+    from tensorfft_tpu.testing.timer import _calibrate_spans, chain_measure
+
+    fake_1us = lambda k: k * 1000.0  # perfect 1 us/iter chain
+    # The warm high chain is promoted to the low arm (one extra compile).
+    assert _calibrate_spans(fake_1us, 4, 36, 0.0005) == (36, 500)
+    # Huge target hits the iteration cap.
+    assert _calibrate_spans(fake_1us, 4, 36, 100.0) == (36, 8192)
+    # Already-long-enough steps keep the floor spans.
+    fake_10ms = lambda k: k * 1e7
+    assert _calibrate_spans(fake_10ms, 4, 36, 0.2) == (4, 36)
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((64, 64), jnp.float32)
+    step = jax.jit(lambda a: (a * 1.000001,))
+    r = chain_measure(step, (x,), reps=2, target_seconds=0.02)
+    assert r.average_time_ns > 0 and r.samples == 2
