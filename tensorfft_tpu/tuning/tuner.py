@@ -48,6 +48,7 @@ class RunConfig:
     col_radices: Optional[Tuple[int, ...]] = None
     row_radices: Optional[Tuple[int, ...]] = None
     complex_mult: str = "block"
+    kloop_width: int = 128
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -65,6 +66,8 @@ class RunConfig:
             t["row_radices"] = self.row_radices
         if self.complex_mult != "block":
             t["complex_mult"] = self.complex_mult
+        if self.kloop_width != 128:
+            t["kloop_width"] = self.kloop_width
         return t
 
 
@@ -261,6 +264,7 @@ def _config_from_entry(entry: dict) -> RunConfig:
         row_radices=tuple(entry["row_radices"])
         if entry.get("row_radices") else None,
         complex_mult=str(entry.get("complex_mult", "block")),
+        kloop_width=int(entry.get("kloop_width", 128)),
     )
 
 
@@ -360,6 +364,17 @@ def tune(
                 best_cfg,
                 complex_mult="mult3" if best_cfg.complex_mult == "block"
                 else "block",
+            ),
+        )
+    # kloop_width doubles how many twiddled slices pack into one stage
+    # matmul (fewer MXU pipeline fills per kloop stage); only fused-path
+    # kernels consume it.
+    if best_cfg.strategy == "fused":
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(
+                best_cfg,
+                kloop_width=256 if best_cfg.kloop_width == 128 else 128,
             ),
         )
     if incumbent_cfg is not None and best_cfg != incumbent_cfg:
