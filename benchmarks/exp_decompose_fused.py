@@ -14,8 +14,12 @@ transform-major from a noisy tie (VERDICT weak #2) — this re-decides it.
 """
 import argparse
 import json
+import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _floor_kernel(b, n, dtype):

@@ -184,13 +184,13 @@ def _fft_split_core(re, im, plan, forward):
 def _batch_major_ok(plan: FFTPlan, b: int) -> bool:
     """Whether the batch-major fused kernel should (and legally can) run.
 
-    Measured v5e (chain_compare, batch=4096, bf16): batch_major TIES
-    transform_major at N=4096 (366 us both), loses 2% at N=8192 and 27% at
-    N=16384 — the in-VMEM sublane transpose costs as much as the two XLA HBM
-    transposes it replaces — so 'auto' resolves to transform_major and
-    batch_major stays a tuner option (it wins when a neighboring op already
-    produces transform-major data, or on future Mosaic versions with faster
-    transposes).
+    Measured v5e (calibrated chain timer, batch=4096 bf16,
+    benchmarks/exp_decompose_fused.py): the XLA (B,N)<->(N,B) transposes
+    around the transform-major kernel cost ~nothing (XLA folds them into the
+    pallas operand layout — public 401 us vs kernel-alone 401 us at N=4096),
+    while batch_major's in-VMEM sublane transpose costs 60%+ (644 us, and
+    fails to compile at N=16384) — so 'auto' resolves to transform_major and
+    batch_major stays a tuner option only.
 
     Mosaic block shapes also need the sublane dim to be a multiple of 8 or
     the full array axis; the kernel's row tile is the largest power-of-two
