@@ -333,9 +333,18 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
     table_refs = refs[2:-2]
 
     n, t = re_ref.shape
-    state = jnp.stack(
-        [re_ref[:].astype(state_dtype), im_ref[:].astype(state_dtype)]
-    )
+    state = jnp.stack([re_ref[:], im_ref[:]])
+    # Under the plain bf16 algorithm the first stage's matmul consumes bf16
+    # operands, so upcasting bf16 storage to the fp32 state first would only
+    # add a full-panel fp32 write+read (the dot casts back down); feed the
+    # raw planes instead.  mult3's first stage sums re+im pre-matmul, where
+    # the upcast buys an exact sum — keep it there.
+    if not (
+        algorithm == "bf16"
+        and state.dtype == jnp.bfloat16
+        and not (complex_mult == "mult3" and radices[0] >= 128)
+    ):
+        state = state.astype(state_dtype)
     state, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
                           grouped=grouped, state_dtype=state_dtype,
                           kloop_width=kloop_width, complex_mult=complex_mult)

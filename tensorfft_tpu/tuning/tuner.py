@@ -80,9 +80,14 @@ def _radix_candidates(n: int, max_candidates: int = 6) -> List[Tuple[int, ...]]:
     """
     cands = [optimal_radices(n), balanced_radices(n)]
     p = exact_log2(n)
-    # A couple of structured alternatives around the optimum.
+    # Structured alternatives around the optimum.  The [8]-based variant
+    # (radix-256 stages, 512x512 block matmuls) costs 25% more padded MACs
+    # than radix-128 but HALVES the kloop slice count — relevant exactly
+    # where the fused kernel runs furthest above its copy floor (N=16384:
+    # 2.55x, exp_decompose_fused.py).
     for logs in ([6] * (p // 6) + ([p % 6] if p % 6 else []),
-                 [7] * (p // 7) + ([p % 7] if p % 7 else [])):
+                 [7] * (p // 7) + ([p % 7] if p % 7 else []),
+                 [8] * (p // 8) + ([p % 8] if p % 8 else [])):
         if logs and all(1 <= l <= 8 for l in logs):
             cands.append(tuple(sorted(1 << l for l in logs)))
     cands += [tuple(reversed(c)) for c in list(cands)]
