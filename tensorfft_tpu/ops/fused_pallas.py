@@ -104,6 +104,15 @@ def _stage_kinds(radices, grouped: bool):
     stage's MXU cycles 8x.  The stage twiddle (diagonal) and the output-row
     reorder (a permutation) fold into the same constant matrix, eliminating
     the per-slice VPU twiddle multiplies as a bonus.
+
+    For radix >= 64 the packing degenerates to p = 1, but the FOLD still
+    pays: each slice's twiddle-times-DFT product becomes one per-slice
+    constant matrix G_kk = BD @ W_kk, so the kloop's VPU twiddle multiplies
+    and wide_re/wide_im/concat intermediates disappear entirely.  The MXU
+    streams weights through the systolic array per matmul either way, so
+    per-slice constants cost the same MXU time as the shared BD; the price
+    is the resident table, k * (2R)^2 entries (16 MiB bf16 at the worst
+    case N=16384 radices (128,128)) — well inside the VMEM budget.
     """
     k = 1
     for radix in radices:
@@ -111,7 +120,8 @@ def _stage_kinds(radices, grouped: bool):
         p = min(p, k)
         if k == 1:
             yield ("first", radix, k, 1)
-        elif grouped and p >= 2 and k % p == 0 and (k // p) <= _MAX_KLOOP:
+        elif (grouped and k % p == 0 and (k // p) <= _MAX_KLOOP
+              and (p >= 2 or radix >= 64)):
             yield ("grouped", radix, k, p)
         elif k <= _MAX_KLOOP:
             yield ("kloop", radix, k, 1)

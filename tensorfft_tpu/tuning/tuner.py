@@ -128,8 +128,11 @@ def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -
 
 
 def _groupable(radices) -> bool:
-    """Grouping only changes stages past the first whose radix is <= 32."""
-    return radices is not None and any(r <= 32 for r in radices[1:])
+    """Grouping changes stages past the first: radix <= 32 stages pack
+    p = 128/(2R) slices per block-diagonal matmul; radix >= 64 stages fold
+    the twiddle into per-slice constants (p = 1) — see ops.fused_pallas
+    _stage_kinds."""
+    return radices is not None and len(radices) > 1
 
 
 def get_run_configs(space: dict) -> List[RunConfig]:
