@@ -1,0 +1,216 @@
+"""Round-3 diagnostic: attribute the fused kernel's in-kernel time.
+
+The round-2 verdict: the fused kernel runs ~2.3x its own aliased copy floor
+and the gap is in-kernel ("VMEM data movement around the stage matmuls" was a
+hypothesis class, not a diagnosis).  This experiment times kernel VARIANTS
+that successively strip mechanisms, all chain_compare'd (decision-grade,
+interleaved) against the production kernel, so the in-kernel time decomposes
+per stage and per mechanism:
+
+  copy         aliased passthrough (the floor)
+  s1           first stage only (no stage 2 at all)
+  notwiddle    full, but stage 2's VPU twiddle pass skipped     -> twiddle cost
+  movement     full, but stage 2's matmul skipped (data paths
+               kept: slice, cast, twiddle, concat, stack)       -> matmul cost
+  nostack      full, but stage-2 outputs concatenated slice-
+               contiguous (kk-major, mathematically wrong order)-> interleave cost
+  s2big        stage 2 via the transpose-based 'big' form
+               (one sublane swap + ONE wide matmul)             -> kloop-vs-big
+  full_bf16st  production kernel with bf16 in-VMEM state
+  grouped      production kernel, twiddle-folded block constants
+  planar       NEW planar engine (separate re/im planes,
+               twiddle-folded [D_re; D_im] constants)
+  planar_b16   planar with bf16 state
+  planar_vpu   planar with shared DFT matrix + VPU twiddles
+
+Custom-variant bodies only support two-stage factorizations (the headline
+configs 4096=(64,64), 8192=(64,128), 16384=(64,256) all are).
+
+Usage: python benchmarks/exp_stage_breakdown.py --n 16384 --batch 4096
+Prints one JSON line per pair.  Reference anchor: the whole point of
+TensorFFT4096.cu:296-359 is doing more per memory pass; this locates where
+our pass's time goes.
+"""
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--variants", type=str, default="",
+                    help="comma list; default all")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import tensorfft_tpu as tfft
+    from tensorfft_tpu.fft import stage_scales
+    from tensorfft_tpu.ops import dots, fused_pallas
+    from tensorfft_tpu.testing.timer import chain_compare
+    from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
+
+    n, b = args.n, args.batch
+    plan = tfft.create_plan(n, precision="bfloat16", tuning="auto",
+                            batch_hint=b)
+    radices = plan.radices
+    assert len(radices) == 2, f"two-stage only, got {radices}"
+    r1, r2 = radices
+    k = r1
+    scales = stage_scales(radices, plan.scaling, True)
+    t = 128
+    mt = (n // (r1 * r2)) * t
+
+    rng = np.random.default_rng(0)
+    re = jnp.asarray(rng.standard_normal((n, b)), jnp.bfloat16)
+    im = jnp.asarray(rng.standard_normal((n, b)), jnp.bfloat16)
+
+    data_spec = pl.BlockSpec((n, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def call(kernel, tables):
+        table_specs = [
+            pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in tables
+        ]
+        f = pl.pallas_call(
+            kernel,
+            grid=(b // t,),
+            in_specs=[data_spec, data_spec] + table_specs,
+            out_specs=(data_spec, data_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((n, b), jnp.bfloat16),
+                jax.ShapeDtypeStruct((n, b), jnp.bfloat16),
+            ),
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+                dimension_semantics=("arbitrary",),
+            ),
+        )
+        return jax.jit(lambda a, c: f(a, c, *tables))
+
+    def copy_kernel(re_ref, im_ref, o_re, o_im):
+        o_re[:] = re_ref[:].astype(jnp.float32).astype(o_re.dtype)
+        o_im[:] = im_ref[:].astype(jnp.float32).astype(o_im.dtype)
+
+    tables_s1 = fused_pallas.stage_table_arrays(
+        (r1,), (scales[0],), -1, "bf16", False)
+    tables_full = fused_pallas.stage_table_arrays(
+        radices, scales, -1, "bf16", False)
+
+    def s1_kernel(*refs):
+        re_ref, im_ref = refs[0], refs[1]
+        o_re, o_im = refs[-2], refs[-1]
+        state = jnp.stack([re_ref[:], im_ref[:]]).astype(jnp.float32)
+        state, _ = fused_pallas.stage_loop(
+            state, refs[2:-2], (r1,), "bf16", n, t)
+        o_re[:] = state[0].reshape(n, t).astype(o_re.dtype)
+        o_im[:] = state[1].reshape(n, t).astype(o_im.dtype)
+
+    def make_custom(mode):
+        # Stage 1 production, stage 2 in `mode`.
+        def kernel(*refs):
+            re_ref, im_ref = refs[0], refs[1]
+            o_re, o_im = refs[-2], refs[-1]
+            bd1 = refs[2]
+            bd2, w_re_r, w_im_r = refs[3], refs[4], refs[5]
+            state = jnp.stack([re_ref[:], im_ref[:]]).astype(jnp.float32)
+            state, _ = fused_pallas.stage_loop(
+                state, [bd1], (r1,), "bf16", n, t)
+            bd = bd2[:]
+            w_re = w_re_r[:]
+            w_im = w_im_r[:]
+            zv = state.reshape(2, k, r2, mt)
+            if mode == "s2big":
+                wrb = w_re.T[None, :, :, None]  # (1, K, R, 1)
+                wib = w_im.T[None, :, :, None]
+                tw_re = zv[0] * wrb[0] - zv[1] * wib[0]
+                tw_im = zv[0] * wib[0] + zv[1] * wrb[0]
+                tw = jnp.stack([tw_re, tw_im])
+                z2 = tw.swapaxes(1, 2).reshape(2 * r2, k * mt)
+                out = dots.dot(bd, z2, "bf16")
+                state = out.reshape(2, r2 * k, mt)
+            else:
+                outs = []
+                for kk in range(k):
+                    sr = zv[0, kk]
+                    si = zv[1, kk]
+                    if mode == "notwiddle":
+                        zr, zi = sr, si
+                    else:
+                        wr = w_re[:, kk][:, None]
+                        wi = w_im[:, kk][:, None]
+                        zr = sr * wr - si * wi
+                        zi = sr * wi + si * wr
+                    z_wide = jnp.concatenate([zr, zi], axis=0)
+                    if mode == "movement":
+                        out_g = z_wide
+                    else:
+                        out_g = dots.dot(bd, z_wide, "bf16")
+                    outs.append(out_g.reshape(2, r2, mt))
+                if mode == "nostack":
+                    out = jnp.concatenate(outs, axis=1)  # kk-major: timing only
+                else:
+                    out = jnp.stack(outs, axis=2)
+                state = out.reshape(2, r2 * k, mt)
+            o_re[:] = state[0].reshape(n, t).astype(o_re.dtype)
+            o_im[:] = state[1].reshape(n, t).astype(o_im.dtype)
+
+        return kernel
+
+    import functools
+
+    def prod(**kw):
+        base = dict(radices=radices, scales=scales, sign=-1, lane_tile=t,
+                    algorithm="bf16", grouped=plan.grouped,
+                    state_dtype=plan.state_dtype,
+                    kloop_width=plan.kloop_width,
+                    complex_mult=plan.complex_mult)
+        base.update(kw)
+        return functools.partial(fused_pallas.fused_fft, **base)
+
+    variants = {
+        "copy": lambda: call(copy_kernel, []),
+        "s1": lambda: call(s1_kernel, tables_s1),
+        "notwiddle": lambda: call(make_custom("notwiddle"), tables_full),
+        "movement": lambda: call(make_custom("movement"), tables_full),
+        "nostack": lambda: call(make_custom("nostack"), tables_full),
+        "s2big": lambda: call(make_custom("s2big"), tables_full),
+        "full_bf16st": lambda: prod(state_dtype="bfloat16"),
+        "grouped": lambda: prod(grouped=True),
+        "planar": lambda: prod(engine="planar"),
+        "planar_b16": lambda: prod(engine="planar", state_dtype="bfloat16"),
+        "planar_vpu": lambda: prod(engine="planar_vpu"),
+    }
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = {kk: v for kk, v in variants.items() if kk in keep}
+
+    base = prod()
+    flops = 5.0 * n * float(np.log2(n)) * b
+    for name, mk in variants.items():
+        try:
+            fn = mk()
+            r_full, r_v = chain_compare(base, fn, (re, im))
+            print(json.dumps({
+                "n": n, "batch": b, "radices": list(radices),
+                "pair": ["full", name],
+                "full_us": round(r_full.average_time_ns / 1e3, 1),
+                f"{name}_us": round(r_v.average_time_ns / 1e3, 1),
+                "full_gflops": round(flops / r_full.average_time_ns, 1),
+                f"{name}_gflops": round(flops / r_v.average_time_ns, 1),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({"pair": ["full", name],
+                              "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

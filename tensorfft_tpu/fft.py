@@ -72,6 +72,7 @@ def _block_engine(plan: FFTPlan):
                 state_dtype=plan.state_dtype,
                 kloop_width=plan.kloop_width,
                 complex_mult=plan.complex_mult,
+                engine=plan.engine,
             )
 
         return engine

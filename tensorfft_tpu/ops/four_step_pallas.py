@@ -281,7 +281,7 @@ def four_step_fft(
     jax.jit,
     static_argnames=(
         "radices1", "radices2", "scales1", "scales2", "sign", "lane_tile",
-        "algorithm", "interpret", "grouped", "state_dtype",
+        "algorithm", "interpret", "grouped", "state_dtype", "complex_mult",
     ),
 )
 def fft2_fused(
@@ -298,6 +298,7 @@ def fft2_fused(
     interpret: bool | None = None,
     grouped: bool | Tuple[bool, bool] = False,
     state_dtype: str = "float32",
+    complex_mult: str = "block",
 ):
     """2D FFT of (B, H, W) planes via the four-step kernels minus the twiddle.
 
@@ -348,7 +349,7 @@ def fft2_fused(
     sd = jnp.dtype(state_dtype)
     kern1 = lambda *refs: _col_kernel(
         refs, radices1, algorithm, h, t, bt1, twiddle=False, grouped=grouped1,
-        state_dtype=sd,
+        state_dtype=sd, complex_mult=complex_mult,
     )
     mid_re, mid_im = pl.pallas_call(
         kern1,
@@ -377,7 +378,7 @@ def fft2_fused(
     ]
     kern2 = lambda *refs: _row_kernel(
         refs, radices2, algorithm, w, kh_tile, bt2, transposed=False,
-        grouped=grouped2, state_dtype=sd,
+        grouped=grouped2, state_dtype=sd, complex_mult=complex_mult,
     )
     out_re, out_im = pl.pallas_call(
         kern2,

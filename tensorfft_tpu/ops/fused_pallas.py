@@ -44,7 +44,8 @@ from tensorfft_tpu import dft
 from tensorfft_tpu.ops import dots
 from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
 
-__all__ = ["fused_fft", "fused_fft_kernel_body", "block_dft_tables"]
+__all__ = ["fused_fft", "fused_fft_kernel_body", "block_dft_tables",
+           "planar_stage_tables", "stage_loop_planar"]
 
 
 def _interpret_default() -> bool:
@@ -111,8 +112,11 @@ def _stage_kinds(radices, grouped: bool):
     and wide_re/wide_im/concat intermediates disappear entirely.  The MXU
     streams weights through the systolic array per matmul either way, so
     per-slice constants cost the same MXU time as the shared BD; the price
-    is the resident table, k * (2R)^2 entries (16 MiB bf16 at the worst
-    case N=16384 radices (128,128)) — well inside the VMEM budget.
+    is the resident table, k * (2pR)^2 / p entries — worst case among the
+    tuner's candidates is N=16384 radices (64, 256): 64 * 512^2 = 16.7M
+    entries (33.5 MiB bf16).  Grouping is gated at 2^24 entries so larger
+    combinations fall back to the kloop instead of relying on a Mosaic
+    VMEM-exhaustion failure to knock them out of the sweep.
     """
     k = 1
     for radix in radices:
@@ -121,7 +125,8 @@ def _stage_kinds(radices, grouped: bool):
         if k == 1:
             yield ("first", radix, k, 1)
         elif (grouped and k % p == 0 and (k // p) <= _MAX_KLOOP
-              and (p >= 2 or radix >= 64)):
+              and (p >= 2 or radix >= 64)
+              and 4 * k * p * radix * radix <= (1 << 24)):
             yield ("grouped", radix, k, p)
         elif k <= _MAX_KLOOP:
             yield ("kloop", radix, k, 1)
@@ -181,6 +186,131 @@ def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool):
         if kind != "first":
             arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
     return arrays
+
+
+@functools.lru_cache(maxsize=None)
+def _planar_a_table(radix: int, k: int, scale: float, sign: int, fold: bool):
+    """(K, 2R, R) twiddle-folded stage matrices for the planar engine.
+
+    Slice kk holds A_kk = [[Re(M_kk)], [Im(M_kk)]] with
+    M_kk[r_o, r_i] = D[r_o, r_i] * W[r_i, kk] — the same twiddle-into-DFT
+    fold as _grouped_g_table but in SEPARATE-PLANE form: one A_kk @ re and
+    one A_kk @ im matmul yield all four real products (U = [D_re@re;
+    D_im@re], V likewise), combined by two VPU ops.  With fold=False the
+    table is the shared (1, 2R, R) un-twiddled [D_re; D_im].
+    """
+    d_re, d_im = dft.dft_matrix(radix, dtype=np.float64, sign=sign,
+                                scale=scale)
+    d_cplx = d_re + 1j * d_im
+    if not fold or k == 1:
+        return np.concatenate([d_re, d_im], axis=0)[None].astype(np.float64)
+    w_re, w_im = dft.stage_twiddle(radix, k, dtype=np.float64, sign=sign)
+    w_cplx = w_re + 1j * w_im  # (R, K); column kk scales input digit r_i
+    out = np.empty((k, 2 * radix, radix), dtype=np.float64)
+    for kk in range(k):
+        m = d_cplx * w_cplx[None, :, kk]
+        out[kk, :radix] = m.real
+        out[kk, radix:] = m.imag
+    return out
+
+
+def planar_stage_tables(radices, scales, sign, algorithm, fold: bool = True):
+    """jnp table operands for the planar engine, in consumption order.
+
+    Per stage: the (K, 2R, R) A table; with fold=False, later stages
+    additionally carry the fp32 (R, K) twiddle planes for the VPU multiply.
+    """
+    d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    arrays = []
+    k = 1
+    for radix, scale in zip(radices, scales):
+        stage_fold = fold and k > 1 and k <= _MAX_KLOOP
+        arrays.append(jnp.asarray(
+            _planar_a_table(radix, k, float(scale), sign, stage_fold), d_dtype
+        ))
+        if k > 1 and not stage_fold:
+            w_re, w_im = dft.stage_twiddle(radix, k, dtype=np.float32,
+                                           sign=sign)
+            arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
+        k *= radix
+    return arrays
+
+
+def stage_loop_planar(state_re, state_im, table_refs, radices, algorithm,
+                      n, t, ti=0, fold: bool = True,
+                      state_dtype=jnp.float32):
+    """Planar stage engine: re/im stay SEPARATE (N, T)-shaped planes.
+
+    The stacked engine (stage_loop) pays, per stage, an entry stack, a
+    per-slice re/im gather into the (2R, cols) block operand, and (kloop) a
+    cast+twiddle VPU pass with fp32 intermediates.  Here each slice runs two
+    matmuls against the merged [D_re; D_im] (or twiddle-folded A_kk)
+    constant — U = A@re, V = A@im — and two VPU combines (U[:R] - V[R:],
+    U[R:] + V[:R]); no stacked-state reshapes, no concatenations, no
+    separate twiddle pass when folded.  MAC count equals the block form for
+    R >= 128 (the first stage pads K = R up to the 128-lane MXU).
+
+    Returns (state_re, state_im, ti).
+    """
+    sd = state_dtype
+    m = n
+    k = 1
+    for radix in radices:
+        m //= radix
+        stage_fold = fold and k > 1 and k <= _MAX_KLOOP
+        if k == 1:
+            a = table_refs[ti][0]
+            ti += 1
+            u = dots.dot(a, state_re.reshape(radix, m * t), algorithm)
+            v = dots.dot(a, state_im.reshape(radix, m * t), algorithm)
+            state_re = (u[:radix] - v[radix:]).astype(sd)
+            state_im = (u[radix:] + v[:radix]).astype(sd)
+        elif k <= _MAX_KLOOP:
+            a_tab = table_refs[ti]
+            if stage_fold:
+                ti += 1
+            else:
+                w_re = table_refs[ti + 1][:]
+                w_im = table_refs[ti + 2][:]
+                ti += 3
+            re_v = state_re.reshape(k, radix, m * t)
+            im_v = state_im.reshape(k, radix, m * t)
+            outs_re, outs_im = [], []
+            for kk in range(k):
+                if stage_fold:
+                    a = a_tab[kk]
+                    zr, zi = re_v[kk], im_v[kk]
+                else:
+                    a = a_tab[0]
+                    sr = re_v[kk].astype(jnp.float32)
+                    si = im_v[kk].astype(jnp.float32)
+                    wr = w_re[:, kk][:, None]
+                    wi = w_im[:, kk][:, None]
+                    zr = sr * wr - si * wi
+                    zi = sr * wi + si * wr
+                u = dots.dot(a, zr, algorithm)
+                v = dots.dot(a, zi, algorithm)
+                outs_re.append((u[:radix] - v[radix:]).astype(sd))
+                outs_im.append((u[radix:] + v[:radix]).astype(sd))
+            state_re = jnp.stack(outs_re, axis=1).reshape(radix * k, m * t)
+            state_im = jnp.stack(outs_im, axis=1).reshape(radix * k, m * t)
+        else:  # big: VPU twiddle on the unswapped view, one sublane swap
+            a = table_refs[ti][0]
+            w_re = table_refs[ti + 1][:].T[:, :, None]  # (K, R, 1)
+            w_im = table_refs[ti + 2][:].T[:, :, None]
+            ti += 3
+            re_v = state_re.reshape(k, radix, m * t).astype(jnp.float32)
+            im_v = state_im.reshape(k, radix, m * t).astype(jnp.float32)
+            tw_re = (re_v * w_re - im_v * w_im).swapaxes(0, 1)
+            tw_im = (re_v * w_im + im_v * w_re).swapaxes(0, 1)
+            u = dots.dot(a, tw_re.reshape(radix, k * m * t), algorithm)
+            v = dots.dot(a, tw_im.reshape(radix, k * m * t), algorithm)
+            o_re = (u[:radix] - v[radix:]).astype(sd)
+            o_im = (u[radix:] + v[:radix]).astype(sd)
+            state_re = o_re.reshape(radix, k, m * t).reshape(radix * k, m * t)
+            state_im = o_im.reshape(radix, k, m * t).reshape(radix * k, m * t)
+        k *= radix
+    return state_re, state_im, ti
 
 
 def _mult3(bd, z_re, z_im, radix, algorithm, sd):
@@ -317,7 +447,8 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
 def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
                           grouped: bool = False, state_dtype=jnp.float32,
                           kloop_width: int = _KLOOP_WIDTH,
-                          complex_mult: str = "block"):
+                          complex_mult: str = "block",
+                          engine: str = "stacked"):
     """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
 
     State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
@@ -343,6 +474,16 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
     table_refs = refs[2:-2]
 
     n, t = re_ref.shape
+    if engine in ("planar", "planar_vpu"):
+        # Planar engine: re/im never stacked; the first stage's matmuls read
+        # the input refs' storage dtype directly (dots.dot casts operands).
+        s_re, s_im, _ = stage_loop_planar(
+            re_ref[:], im_ref[:], table_refs, radices, algorithm, n, t,
+            fold=(engine == "planar"), state_dtype=state_dtype,
+        )
+        out_re_ref[:] = s_re.reshape(n, t).astype(out_re_ref.dtype)
+        out_im_ref[:] = s_im.reshape(n, t).astype(out_im_ref.dtype)
+        return
     state = jnp.stack([re_ref[:], im_ref[:]])
     # Under the plain bf16 algorithm the first stage's matmul consumes bf16
     # operands, so upcasting bf16 storage to the fp32 state first would only
@@ -366,7 +507,7 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
                      "interpret", "grouped", "state_dtype", "kloop_width",
-                     "complex_mult"),
+                     "complex_mult", "engine"),
 )
 def fused_fft(
     re,
@@ -382,6 +523,7 @@ def fused_fft(
     state_dtype: str = "float32",
     kloop_width: int = _KLOOP_WIDTH,
     complex_mult: str = "block",
+    engine: str = "stacked",
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
@@ -407,8 +549,12 @@ def fused_fft(
     b_padded = b + pad
     grid = (b_padded // t,)
 
-    table_arrays = stage_table_arrays(radices, scales, sign, algorithm,
-                                      grouped)
+    if engine in ("planar", "planar_vpu"):
+        table_arrays = planar_stage_tables(radices, scales, sign, algorithm,
+                                           fold=(engine == "planar"))
+    else:
+        table_arrays = stage_table_arrays(radices, scales, sign, algorithm,
+                                          grouped)
 
     data_spec = pl.BlockSpec((n, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     table_specs = [
@@ -421,7 +567,8 @@ def fused_fft(
     kernel = lambda *refs: fused_fft_kernel_body(refs, radices, algorithm,
                                                  grouped, state_dtype=sd,
                                                  kloop_width=kloop_width,
-                                                 complex_mult=complex_mult)
+                                                 complex_mult=complex_mult,
+                                                 engine=engine)
 
     out_re, out_im = pl.pallas_call(
         kernel,

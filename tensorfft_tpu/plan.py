@@ -263,6 +263,14 @@ class FFTPlan:
     # MACs for radix >= 128 stages (where the fused kernel is MXU-bound);
     # stages below radix 128 keep the block form under either setting.
     complex_mult: str = "block"
+    # In-VMEM stage engine: 'stacked' runs block-complex matmuls on a stacked
+    # (2, K, M*T) state; 'planar' keeps re/im as SEPARATE planes end-to-end —
+    # two [D_re; D_im]-merged matmuls per slice with the stage twiddle folded
+    # into per-slice constants, eliminating the entry stack, the per-slice
+    # re/im gathers, and the VPU twiddle pass (round-3 in-kernel VMEM work);
+    # 'planar_vpu' is planar with a shared DFT matrix + VPU twiddles (small
+    # tables).  Tuner knob; fused-path kernels only.
+    engine: str = "stacked"
 
     def __post_init__(self):
         if not is_power_of_2(self.fft_length):
@@ -284,6 +292,8 @@ class FFTPlan:
             raise ValueError(f"bad state_dtype {self.state_dtype!r}")
         if self.complex_mult not in ("block", "mult3"):
             raise ValueError(f"bad complex_mult {self.complex_mult!r}")
+        if self.engine not in ("stacked", "planar", "planar_vpu"):
+            raise ValueError(f"bad engine {self.engine!r}")
         if self.four_step_split is not None:
             n1, n2 = self.four_step_split
             if n1 * n2 != self.fft_length:
@@ -399,6 +409,7 @@ def create_plan(
     state_dtype = str(tuning.get("state_dtype", "float32"))
     kloop_width = int(tuning.get("kloop_width", 128))
     complex_mult = str(tuning.get("complex_mult", "block"))
+    engine = str(tuning.get("engine", "stacked"))
 
     four_step_split = None
     col_radices = None
@@ -447,6 +458,7 @@ def create_plan(
         state_dtype=state_dtype,
         kloop_width=kloop_width,
         complex_mult=complex_mult,
+        engine=engine,
     )
 
 

@@ -271,8 +271,19 @@ def chain_compare(
                                       target_seconds)
         # One common span pair, sized by the slower arm, keeps the rounds
         # symmetric (sizing by the faster arm would stretch the slower chain
-        # far past target and slow the sweep for no precision gain).
-        new_lo, new_hi = min(lo_a, lo_b), min(hi_a, hi_b)
+        # far past target and slow the sweep for no precision gain).  An arm
+        # whose floor chain already exceeds target returns the floor pair
+        # unchanged; taking an element-wise min against it would collapse the
+        # OTHER arm back to the jitter-exposed floor (exactly the asymmetric
+        # incumbent-vs-challenger case calibration exists for), so a lone
+        # calibrated pair is adopted outright — the slow arm only gets
+        # longer, which is safe.
+        floor = (iters_low, iters_high)
+        calibrated = [p for p in ((lo_a, hi_a), (lo_b, hi_b)) if p != floor]
+        if len(calibrated) == 1:
+            new_lo, new_hi = calibrated[0]
+        else:
+            new_lo, new_hi = min(lo_a, lo_b), min(hi_a, hi_b)
         if (new_lo, new_hi) != (iters_low, iters_high):
             iters_low, iters_high = new_lo, new_hi
             for timed in (timed_a, timed_b):

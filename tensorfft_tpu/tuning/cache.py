@@ -99,7 +99,26 @@ class TunerCache:
         else:
             self._entries[_key(fft_length, precision, platform)] = entry
 
+    def dedupe(self) -> int:
+        """Drop batch-suffixed entries identical to their blind twin.
+
+        A twin identical to the canonical blind entry is pure redundancy —
+        get() falls back to the blind key — and the pair goes stale together
+        when one is retuned (round-2 verdict item 7).  Runs on save(), so
+        the persisted invariant is: every ``...,batch=B`` key differs from
+        its blind key's entry.  Returns the number of entries removed.
+        """
+        drop = [
+            k for k, v in self._entries.items()
+            if ",batch=" in k
+            and self._entries.get(k.rsplit(",batch=", 1)[0]) == v
+        ]
+        for k in drop:
+            del self._entries[k]
+        return len(drop)
+
     def save(self):
+        self.dedupe()
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.path.write_text(
             json.dumps({"version": _VERSION, "entries": self._entries}, indent=1,

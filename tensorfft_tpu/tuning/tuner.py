@@ -49,6 +49,7 @@ class RunConfig:
     row_radices: Optional[Tuple[int, ...]] = None
     complex_mult: str = "block"
     kloop_width: int = 128
+    engine: str = "stacked"
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -68,6 +69,8 @@ class RunConfig:
             t["complex_mult"] = self.complex_mult
         if self.kloop_width != 128:
             t["kloop_width"] = self.kloop_width
+        if self.engine != "stacked":
+            t["engine"] = self.engine
         return t
 
 
@@ -212,6 +215,8 @@ def chain_step_for_plan(plan, forward: bool = True):
             **({"grouped": True} if plan.grouped else {}),
             **({"state_dtype": plan.state_dtype}
                if plan.state_dtype != "float32" else {}),
+            **({"complex_mult": plan.complex_mult}
+               if plan.complex_mult != "block" else {}),
         },
     )
 
@@ -273,6 +278,7 @@ def _config_from_entry(entry: dict) -> RunConfig:
         if entry.get("row_radices") else None,
         complex_mult=str(entry.get("complex_mult", "block")),
         kloop_width=int(entry.get("kloop_width", 128)),
+        engine=str(entry.get("engine", "stacked")),
     )
 
 

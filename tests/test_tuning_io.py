@@ -109,3 +109,31 @@ def test_cache_batch_aware_keys(tmp_path):
     assert c2.get(4096, "bfloat16", "tpu", batch=1024)["radices"] == (64, 64)
     # "batch" bookkeeping must not leak into the tuning dict.
     assert "batch" not in c2.get(4096, "bfloat16", "tpu", batch=1024)
+
+
+def test_cache_dedupe_invariant(tmp_path):
+    # Round-2 verdict item 7: a batch-suffixed key duplicating the blind
+    # entry goes stale in pairs when one twin is retuned.  save() prunes
+    # identical twins (lazily, so in-session batch overrides survive blind
+    # promotions — see test_cache_batch_aware_keys).
+    c = TunerCache(tmp_path / "cache.json")
+    c.put(4096, "bfloat16", "tpu", {"radices": [64, 64]}, batch=4096)
+    # A different smaller-batch entry IS kept as an override.
+    c.put(4096, "bfloat16", "tpu", {"radices": [16, 256]}, batch=512)
+    c.save()
+    c2 = TunerCache(tmp_path / "cache.json")
+    # blind + the differing batch=512 override; the identical batch=4096
+    # twin was pruned.
+    assert len(c2) == 2
+    import json
+
+    entries = json.loads((tmp_path / "cache.json").read_text())["entries"]
+    for k, v in entries.items():
+        if ",batch=" in k:
+            assert entries.get(k.rsplit(",batch=", 1)[0]) != v
+
+
+def test_committed_cache_deduped():
+    # The committed production cache satisfies the same invariant.
+    c = TunerCache()
+    assert c.dedupe() == 0
