@@ -111,8 +111,15 @@ def main():
         state = jnp.stack([re_ref[:], im_ref[:]]).astype(jnp.float32)
         state, _ = fused_pallas.stage_loop(
             state, refs[2:-2], (r1,), "bf16", n, t)
-        o_re[:] = state[0].reshape(n, t).astype(o_re.dtype)
-        o_im[:] = state[1].reshape(n, t).astype(o_im.dtype)
+        # Timing-only output order: state is (2, r1, (n//r1)*t); a direct
+        # reshape to (n, t) is a full-panel lane->sublane relayout that
+        # Mosaic compiles pathologically (wedges the backend).  The
+        # transpose-of-lane-tiles form below moves whole (r1, t) tiles
+        # (bookkeeping, no intra-tile movement); row order becomes
+        # j2*r1 + r, irrelevant for a store-traffic measurement.
+        s3 = state.reshape(2, r1, n // r1, t)
+        o_re[:] = s3[0].transpose(1, 0, 2).reshape(n, t).astype(o_re.dtype)
+        o_im[:] = s3[1].transpose(1, 0, 2).reshape(n, t).astype(o_im.dtype)
 
     def make_custom(mode):
         # Stage 1 production, stage 2 in `mode`.
@@ -188,6 +195,12 @@ def main():
         "planar": lambda: prod(engine="planar"),
         "planar_b16": lambda: prod(engine="planar", state_dtype="bfloat16"),
         "planar_vpu": lambda: prod(engine="planar_vpu"),
+        "pretwid": lambda: prod(engine="pretwiddle"),
+        "pretwid_m3": lambda: prod(engine="pretwiddle", complex_mult="mult3"),
+        "pretwid_128": lambda: prod(engine="pretwiddle",
+                                    radices=(128, 128),
+                                    scales=stage_scales((128, 128),
+                                                        plan.scaling, True)),
     }
     if args.variants:
         keep = set(args.variants.split(","))

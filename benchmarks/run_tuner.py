@@ -21,6 +21,9 @@ def main():
                          "--batch-elems; tunes a batch-specific cache entry)")
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--cache", default=None)
+    ap.add_argument("--dump-dir", default="results",
+                    help="directory for per-config tuner_data_<N>.dat "
+                         "audit tables (TunerData_<N>.dat analog)")
     args = ap.parse_args()
 
     from tensorfft_tpu.tuning import TunerCache, tune
@@ -29,7 +32,8 @@ def main():
     n = args.start
     while n <= args.end:
         batch = args.batch if args.batch else max(1, args.batch_elems // n)
-        entry = tune(n, batch=batch, precision=args.precision, cache=cache)
+        entry = tune(n, batch=batch, precision=args.precision, cache=cache,
+                     dump_dir=args.dump_dir)
         print(f"N={n:>9d}: best {entry}")
         cache.save()
         n *= 2

@@ -73,6 +73,7 @@ def _block_engine(plan: FFTPlan):
                 kloop_width=plan.kloop_width,
                 complex_mult=plan.complex_mult,
                 engine=plan.engine,
+                first_dot=plan.first_dot,
             )
 
         return engine
@@ -144,6 +145,8 @@ def _fft_split_core(re, im, plan, forward):
             grouped=plan.grouped,
             state_dtype=plan.state_dtype,
             complex_mult=plan.complex_mult,
+            first_dot=plan.first_dot,
+            engine=plan.engine,
         )
         return (
             out_re.reshape(*batch_shape, n),
@@ -167,6 +170,7 @@ def _fft_split_core(re, im, plan, forward):
             radices=plan.radices, scales=scales, sign=sign,
             algorithm=plan.precision.dot_algorithm, grouped=plan.grouped,
             state_dtype=plan.state_dtype, complex_mult=plan.complex_mult,
+            first_dot=plan.first_dot, engine=plan.engine,
         )
         return (
             out_re.reshape(*batch_shape, n),
@@ -312,8 +316,14 @@ def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
         h, w = re.shape[-2], re.shape[-1]
         from tensorfft_tpu.plan import is_power_of_2
 
-        plan_h = create_plan(h, **plan_kwargs) if is_power_of_2(h) else None
-        plan_w = create_plan(w, **plan_kwargs) if is_power_of_2(w) else None
+        # Inner plans consult the tuner cache by default so the 2D/N-D paths
+        # inherit single-chip tuning wins (round-2 verdict item 4; reference
+        # pattern: production plans always consume tuner output,
+        # Plan.h:197-255).  An explicit tuning= kwarg still overrides.
+        kw = dict(plan_kwargs)
+        kw.setdefault("tuning", "auto")
+        plan_h = create_plan(h, **kw) if is_power_of_2(h) else None
+        plan_w = create_plan(w, **kw) if is_power_of_2(w) else None
         if (
             plan_h is not None and plan_w is not None
             and plan_h.resolve_strategy() is Strategy.FUSED
@@ -335,6 +345,14 @@ def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
                 sign=sign, lane_tile=plan_h.lane_tile,
                 algorithm=plan_h.precision.dot_algorithm,
                 grouped=(plan_h.grouped, plan_w.grouped),
+                state_dtype=(plan_h.state_dtype
+                             if plan_h.state_dtype == plan_w.state_dtype
+                             else "float32"),
+                complex_mult=(plan_h.complex_mult
+                              if plan_h.complex_mult == plan_w.complex_mult
+                              else "block"),
+                engine=(plan_h.engine if plan_h.engine == plan_w.engine
+                        else "stacked"),
             )
             return (
                 o_re.reshape(*batch_shape, h, w),
@@ -346,7 +364,9 @@ def _fftn_split(re, im, axes, plans, forward, plan_kwargs):
         im_m = jnp.moveaxis(im, ax, -1)
         n = re_m.shape[-1]
         plan = plans.get(n) if isinstance(plans, dict) else None
-        plan = _ensure_plan(n, plan, **plan_kwargs)
+        kw = dict(plan_kwargs)
+        kw.setdefault("tuning", "auto")  # inherit single-chip tuning wins
+        plan = _ensure_plan(n, plan, **kw)
         fn = fft_split if forward else ifft_split
         re_m, im_m = fn(re_m, im_m, plan)
         re = jnp.moveaxis(re_m, -1, ax)

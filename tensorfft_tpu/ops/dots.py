@@ -66,6 +66,15 @@ def dot(a, b, algorithm: str = "bf16"):
         )
     if algorithm == "bf16":
         return _dot_f32(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    if algorithm == "bf16ax2":
+        # Matrix-side-only 2-term split: recovers ~fp32 accuracy in the
+        # CONSTANT operand (DFT matrix) at 2 products while the data operand
+        # stays a plain bf16 cast.  Used for compensated first stages, where
+        # the data is bf16 storage (exact) and the matrix rounding dominates
+        # the stage's error (round-2 verdict item 5).
+        a_hi, a_lo = split_bf16(a, 2)
+        b16 = b.astype(jnp.bfloat16)
+        return _dot_f32(a_hi, b16) + _dot_f32(a_lo, b16)
     if algorithm == "bf16x3":
         a_hi, a_lo = split_bf16(a, 2)
         b_hi, b_lo = split_bf16(b, 2)

@@ -35,16 +35,54 @@ from tensorfft_tpu.ops import dots
 from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
 from tensorfft_tpu.ops.fused_pallas import (
     _interpret_default,
+    planar_stage_tables,
     stage_loop,
+    stage_loop_planar,
     stage_table_arrays,
 )
+
+
+def _pass_tables(radices, scales, sign, algorithm, grouped, engine,
+                 first_dot="default"):
+    """Stage tables for one pass under the selected in-VMEM engine."""
+    if engine in ("planar", "planar_vpu"):
+        return planar_stage_tables(radices, scales, sign, algorithm,
+                                   fold=(engine == "planar"),
+                                   first_dot=first_dot)
+    return stage_table_arrays(radices, scales, sign, algorithm, grouped,
+                              first_dot=first_dot,
+                              pretwiddle=(engine == "pretwiddle"))
+
+
+def _run_stages(state_re, state_im, table_refs, radices, algorithm, n, t,
+                grouped, state_dtype, complex_mult, engine, first_dot):
+    """Run one pass's stage sequence on separate (n, t) planes.
+
+    Dispatches to the stacked block-complex engine or the planar engine
+    (separate re/im planes end-to-end); returns (re, im) planes.
+    """
+    if engine in ("planar", "planar_vpu"):
+        s_re, s_im, _ = stage_loop_planar(
+            state_re, state_im, table_refs, radices, algorithm, n, t,
+            fold=(engine == "planar"), state_dtype=state_dtype,
+            first_dot=first_dot,
+        )
+        return s_re.reshape(n, t), s_im.reshape(n, t)
+    state = jnp.stack([state_re, state_im])
+    state, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
+                          grouped=grouped, state_dtype=state_dtype,
+                          complex_mult=complex_mult, first_dot=first_dot,
+                          pretwiddle=(engine == "pretwiddle"))
+    state = state.reshape(2, n, t)
+    return state[0], state[1]
 
 __all__ = ["four_step_fft", "fft2_fused", "fused_fft_batch_major"]
 
 
 def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
                 grouped=False, state_dtype=jnp.float32,
-                complex_mult="block"):
+                complex_mult="block", first_dot="default",
+                engine="stacked"):
     """Pass K1: (bt, n1, T) block -> bt panels of n1-point FFTs
     (+ four-step twiddle).
 
@@ -77,25 +115,26 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
         w_im = p_re * q_ref[1] + p_im * q_ref[0]
 
     for i in range(bt):
-        state = jnp.stack(
-            [re_ref[i].astype(state_dtype), im_ref[i].astype(state_dtype)]
+        s_re, s_im = _run_stages(
+            re_ref[i].astype(state_dtype), im_ref[i].astype(state_dtype),
+            table_refs, radices, algorithm, n1, t, grouped, state_dtype,
+            complex_mult, engine, first_dot,
         )
-        state, _ = stage_loop(state, table_refs, radices, algorithm, n1, t,
-                              grouped=grouped, state_dtype=state_dtype,
-                              complex_mult=complex_mult)
-        state = state.reshape(2, n1, t).astype(jnp.float32)
+        s_re = s_re.astype(jnp.float32)
+        s_im = s_im.astype(jnp.float32)
         if twiddle:
-            o_re = state[0] * w_re - state[1] * w_im
-            o_im = state[0] * w_im + state[1] * w_re
+            o_re = s_re * w_re - s_im * w_im
+            o_im = s_re * w_im + s_im * w_re
         else:
-            o_re, o_im = state[0], state[1]
+            o_re, o_im = s_re, s_im
         out_re_ref[i] = o_re.astype(out_re_ref.dtype)
         out_im_ref[i] = o_im.astype(out_im_ref.dtype)
 
 
 def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
                 grouped=False, state_dtype=jnp.float32,
-                complex_mult="block"):
+                complex_mult="block", first_dot="default",
+                engine="stacked"):
     """Pass K2: transposed-read (bt, k1_tile, n2) block -> n2-point FFTs.
 
     transposed=True writes each (n2, k1_tile) result at the digit-swapped
@@ -109,21 +148,18 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
     for i in range(bt):
         # Transpose in the storage dtype (bf16 halves the sublane-transpose
         # traffic, the slowest Mosaic lowering here), then upcast.
-        state = jnp.stack([
+        s_re, s_im = _run_stages(
             re_ref[i].T.astype(state_dtype),  # (n2, k1_tile)
             im_ref[i].T.astype(state_dtype),
-        ])
-        state, _ = stage_loop(state, table_refs, radices, algorithm, n2,
-                              k1_tile, grouped=grouped,
-                              state_dtype=state_dtype,
-                              complex_mult=complex_mult)
-        state = state.reshape(2, n2, k1_tile)
+            table_refs, radices, algorithm, n2, k1_tile, grouped,
+            state_dtype, complex_mult, engine, first_dot,
+        )
         if transposed:
-            out_re_ref[i] = state[0].astype(out_re_ref.dtype)
-            out_im_ref[i] = state[1].astype(out_im_ref.dtype)
+            out_re_ref[i] = s_re.astype(out_re_ref.dtype)
+            out_im_ref[i] = s_im.astype(out_im_ref.dtype)
         else:
-            out_re_ref[i] = state[0].T.astype(out_re_ref.dtype)
-            out_im_ref[i] = state[1].T.astype(out_im_ref.dtype)
+            out_re_ref[i] = s_re.T.astype(out_re_ref.dtype)
+            out_im_ref[i] = s_im.T.astype(out_im_ref.dtype)
 
 
 @functools.partial(
@@ -131,7 +167,7 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
     static_argnames=(
         "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
         "lane_tile", "algorithm", "interpret", "grouped", "state_dtype",
-        "complex_mult",
+        "complex_mult", "first_dot", "engine",
     ),
 )
 def four_step_fft(
@@ -151,6 +187,8 @@ def four_step_fft(
     grouped: bool = False,
     state_dtype: str = "float32",
     complex_mult: str = "block",
+    first_dot: str = "default",
+    engine: str = "stacked",
 ):
     """Large-N FFT on batch-major (B, N) planes, N = n1*n2.
 
@@ -207,7 +245,8 @@ def four_step_fft(
         np.stack([p_re, p_im]).transpose(2, 0, 1).copy()
     )
     q_tab = jnp.asarray(np.stack([q_re, q_im]))      # (2, n1, t)
-    tables1 = stage_table_arrays(radices1, scales1, sign, algorithm, grouped)
+    tables1 = _pass_tables(radices1, scales1, sign, algorithm, grouped,
+                           engine, first_dot=first_dot)
 
     data_spec1 = pl.BlockSpec(
         (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
@@ -226,7 +265,8 @@ def four_step_fft(
     sd = jnp.dtype(state_dtype)
     kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t, bt1,
                                       grouped=grouped, state_dtype=sd,
-                                      complex_mult=complex_mult)
+                                      complex_mult=complex_mult,
+                                      first_dot=first_dot, engine=engine)
     mid_re, mid_im = pl.pallas_call(
         kern1,
         grid=(b // bt1, n2 // t),
@@ -244,7 +284,8 @@ def four_step_fft(
     )(re3, im3, p_tab, q_tab, *tables1)
 
     # Pass K2.
-    tables2 = stage_table_arrays(radices2, scales2, sign, algorithm, grouped)
+    tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped,
+                           engine, first_dot=first_dot)
     in_spec2 = pl.BlockSpec(
         (bt2, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )
@@ -258,7 +299,8 @@ def four_step_fft(
     ]
     kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile,
                                       bt2, grouped=grouped, state_dtype=sd,
-                                      complex_mult=complex_mult)
+                                      complex_mult=complex_mult,
+                                      first_dot=first_dot, engine=engine)
     out_re, out_im = pl.pallas_call(
         kern2,
         grid=(b // bt2, n1 // k1_tile),
@@ -282,6 +324,7 @@ def four_step_fft(
     static_argnames=(
         "radices1", "radices2", "scales1", "scales2", "sign", "lane_tile",
         "algorithm", "interpret", "grouped", "state_dtype", "complex_mult",
+        "engine",
     ),
 )
 def fft2_fused(
@@ -299,6 +342,7 @@ def fft2_fused(
     grouped: bool | Tuple[bool, bool] = False,
     state_dtype: str = "float32",
     complex_mult: str = "block",
+    engine: str = "stacked",
 ):
     """2D FFT of (B, H, W) planes via the four-step kernels minus the twiddle.
 
@@ -337,7 +381,8 @@ def fft2_fused(
     bt1 = batch_tile(h * t)
     bt2 = batch_tile(kh_tile * w)
 
-    tables1 = stage_table_arrays(radices1, scales1, sign, algorithm, grouped1)
+    tables1 = _pass_tables(radices1, scales1, sign, algorithm, grouped1,
+                           engine)
     data_spec1 = pl.BlockSpec(
         (bt1, h, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
@@ -349,7 +394,7 @@ def fft2_fused(
     sd = jnp.dtype(state_dtype)
     kern1 = lambda *refs: _col_kernel(
         refs, radices1, algorithm, h, t, bt1, twiddle=False, grouped=grouped1,
-        state_dtype=sd, complex_mult=complex_mult,
+        state_dtype=sd, complex_mult=complex_mult, engine=engine,
     )
     mid_re, mid_im = pl.pallas_call(
         kern1,
@@ -367,7 +412,8 @@ def fft2_fused(
         ),
     )(re, im, *tables1)
 
-    tables2 = stage_table_arrays(radices2, scales2, sign, algorithm, grouped2)
+    tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped2,
+                           engine)
     in_spec2 = pl.BlockSpec(
         (bt2, kh_tile, w), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )
@@ -379,6 +425,7 @@ def fft2_fused(
     kern2 = lambda *refs: _row_kernel(
         refs, radices2, algorithm, w, kh_tile, bt2, transposed=False,
         grouped=grouped2, state_dtype=sd, complex_mult=complex_mult,
+        engine=engine,
     )
     out_re, out_im = pl.pallas_call(
         kern2,
@@ -402,7 +449,8 @@ def fft2_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "algorithm", "interpret",
-                     "grouped", "state_dtype", "complex_mult"),
+                     "grouped", "state_dtype", "complex_mult", "first_dot",
+                     "engine"),
 )
 def fused_fft_batch_major(
     re,
@@ -416,6 +464,8 @@ def fused_fft_batch_major(
     grouped: bool = False,
     state_dtype: str = "float32",
     complex_mult: str = "block",
+    first_dot: str = "default",
+    engine: str = "stacked",
 ):
     """Whole-transform FFT on batch-major (B, N) planes in ONE Pallas pass.
 
@@ -439,7 +489,8 @@ def fused_fft_batch_major(
         rt *= 2
     row_tile = rt
 
-    tables = stage_table_arrays(radices, scales, sign, algorithm, grouped)
+    tables = _pass_tables(radices, scales, sign, algorithm, grouped,
+                          engine, first_dot=first_dot)
     in_spec = pl.BlockSpec(
         (row_tile, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM
     )
@@ -457,16 +508,14 @@ def fused_fft_batch_major(
         table_refs = refs[2:-2]
         # Transpose in the storage dtype (halves the slow sublane-transpose
         # traffic for bf16 data), then upcast to the state dtype.
-        state = jnp.stack([
+        s_re, s_im = _run_stages(
             re_ref[:].T.astype(sd),  # (n, row_tile)
             im_ref[:].T.astype(sd),
-        ])
-        state, _ = stage_loop(state, table_refs, radices, algorithm, n,
-                              row_tile, grouped=grouped, state_dtype=sd,
-                              complex_mult=complex_mult)
-        state = state.reshape(2, n, row_tile)
-        out_re_ref[:] = state[0].T.astype(out_re_ref.dtype)
-        out_im_ref[:] = state[1].T.astype(out_im_ref.dtype)
+            table_refs, radices, algorithm, n, row_tile, grouped, sd,
+            complex_mult, engine, first_dot,
+        )
+        out_re_ref[:] = s_re.T.astype(out_re_ref.dtype)
+        out_im_ref[:] = s_im.T.astype(out_im_ref.dtype)
 
     return pl.pallas_call(
         kernel,

@@ -163,28 +163,65 @@ def _grouped_g_table(radix: int, k: int, p: int, scale: float, sign: int):
     return out.astype(np.float32)
 
 
-def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool):
+def epilogue_twiddle_tables(radices, sign):
+    """Per-stage epilogue twiddle tables for pretwiddle mode.
+
+    Stage s's output rows are the NEXT stage's (kk, j)-indexed input: row
+    kk = r_s*K_s + kk_s, lane-group j = the next stage's input digit.  The
+    next stage's twiddle W[j, kk] therefore applies to stage s's output as
+    ONE broadcast elementwise multiply on the contiguous (rows, R_next,
+    m*t) view — measured ~600 us cheaper at N=16384/b=4096 than the same
+    multiplies issued per-slice inside the next stage's kloop (the
+    round-3 stage-breakdown finding: the per-slice twiddle pass, not the
+    matmuls, dominated the in-kernel gap).
+
+    Returns [(T_re, T_im) or None per stage]: T has shape (K_next, R_next)
+    = W.T; None for the last stage (no next twiddle).
+    """
+    out = []
+    k = 1
+    for i, radix in enumerate(radices):
+        k *= radix
+        if i + 1 < len(radices):
+            w_re, w_im = dft.stage_twiddle(radices[i + 1], k,
+                                           dtype=np.float32, sign=sign)
+            out.append((w_re.T.copy(), w_im.T.copy()))
+        else:
+            out.append(None)
+    return out
+
+
+def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool,
+                       first_dot: str = "default",
+                       pretwiddle: bool = False):
     """The jnp table operands for one kernel, in stage_loop consumption order.
 
     Matmul operands (BD / grouped G) are pre-rounded to bf16 under the plain
     'bf16' algorithm (split algorithms need the fp32 originals); twiddle
-    tables stay fp32 (VPU multiply).
+    tables stay fp32 (VPU multiply).  A compensated ``first_dot`` keeps the
+    FIRST stage's matrix fp32 so the kernel can split it (ops/dots.py
+    'bf16ax2').
     """
     d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
     arrays = []
     plain = block_dft_tables(radices, scales, sign, d_dtype=np.float64)
-    for (kind, radix, k, p), (bd, w_re, w_im), scale in zip(
-        _stage_kinds(radices, grouped), plain, scales
-    ):
+    epi = epilogue_twiddle_tables(radices, sign) if pretwiddle else None
+    for i, ((kind, radix, k, p), (bd, w_re, w_im), scale) in enumerate(zip(
+        _stage_kinds(radices, grouped and not pretwiddle), plain, scales
+    )):
         if kind == "grouped":
             arrays.append(
                 jnp.asarray(_grouped_g_table(radix, k, p, float(scale), sign),
                             d_dtype)
             )
             continue
-        arrays.append(jnp.asarray(bd, d_dtype))
-        if kind != "first":
+        dt = (jnp.float32 if (kind == "first" and first_dot != "default")
+              else d_dtype)
+        arrays.append(jnp.asarray(bd, dt))
+        if kind != "first" and not pretwiddle:
             arrays += [jnp.asarray(w_re), jnp.asarray(w_im)]
+        if pretwiddle and epi[i] is not None:
+            arrays += [jnp.asarray(epi[i][0]), jnp.asarray(epi[i][1])]
     return arrays
 
 
@@ -214,19 +251,24 @@ def _planar_a_table(radix: int, k: int, scale: float, sign: int, fold: bool):
     return out
 
 
-def planar_stage_tables(radices, scales, sign, algorithm, fold: bool = True):
+def planar_stage_tables(radices, scales, sign, algorithm, fold: bool = True,
+                        first_dot: str = "default"):
     """jnp table operands for the planar engine, in consumption order.
 
     Per stage: the (K, 2R, R) A table; with fold=False, later stages
     additionally carry the fp32 (R, K) twiddle planes for the VPU multiply.
+    A compensated ``first_dot`` keeps stage 0's table fp32 for the in-kernel
+    matrix split.
     """
     d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
     arrays = []
     k = 1
     for radix, scale in zip(radices, scales):
         stage_fold = fold and k > 1 and k <= _MAX_KLOOP
+        dt = (jnp.float32 if (k == 1 and first_dot != "default")
+              else d_dtype)
         arrays.append(jnp.asarray(
-            _planar_a_table(radix, k, float(scale), sign, stage_fold), d_dtype
+            _planar_a_table(radix, k, float(scale), sign, stage_fold), dt
         ))
         if k > 1 and not stage_fold:
             w_re, w_im = dft.stage_twiddle(radix, k, dtype=np.float32,
@@ -238,7 +280,7 @@ def planar_stage_tables(radices, scales, sign, algorithm, fold: bool = True):
 
 def stage_loop_planar(state_re, state_im, table_refs, radices, algorithm,
                       n, t, ti=0, fold: bool = True,
-                      state_dtype=jnp.float32):
+                      state_dtype=jnp.float32, first_dot: str = "default"):
     """Planar stage engine: re/im stay SEPARATE (N, T)-shaped planes.
 
     The stacked engine (stage_loop) pays, per stage, an entry stack, a
@@ -259,10 +301,13 @@ def stage_loop_planar(state_re, state_im, table_refs, radices, algorithm,
         m //= radix
         stage_fold = fold and k > 1 and k <= _MAX_KLOOP
         if k == 1:
+            alg0 = (first_dot
+                    if (first_dot != "default" and algorithm == "bf16")
+                    else algorithm)
             a = table_refs[ti][0]
             ti += 1
-            u = dots.dot(a, state_re.reshape(radix, m * t), algorithm)
-            v = dots.dot(a, state_im.reshape(radix, m * t), algorithm)
+            u = dots.dot(a, state_re.reshape(radix, m * t), alg0)
+            v = dots.dot(a, state_im.reshape(radix, m * t), alg0)
             state_re = (u[:radix] - v[radix:]).astype(sd)
             state_im = (u[radix:] + v[:radix]).astype(sd)
         elif k <= _MAX_KLOOP:
@@ -339,7 +384,8 @@ def _mult3(bd, z_re, z_im, radix, algorithm, sd):
 
 def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                grouped: bool = False, state_dtype=jnp.float32,
-               kloop_width: int = _KLOOP_WIDTH, complex_mult: str = "block"):
+               kloop_width: int = _KLOOP_WIDTH, complex_mult: str = "block",
+               first_dot: str = "default", pretwiddle: bool = False):
     """Run the whole stage sequence on a stacked (2, n, t) state.
 
     The shared in-VMEM engine behind every kernel (whole-transform fused,
@@ -356,8 +402,17 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
     keep the block form either way.
     """
     sd = state_dtype
+    alg0 = (first_dot if (first_dot != "default" and algorithm == "bf16")
+            else algorithm)
     m = n
-    for kind, radix, k, p in _stage_kinds(radices, grouped):
+    # pretwiddle hoists each stage's twiddle into the PREVIOUS stage's
+    # epilogue as one broadcast multiply on the contiguous output view —
+    # measured ~600 us cheaper than per-slice twiddles at the headline
+    # config (round-3 stage breakdown); incompatible with 'grouped' (whose
+    # constant-fold IS the twiddle), so grouping is disabled under it.
+    kinds = list(_stage_kinds(radices, grouped and not pretwiddle))
+    last_i = len(kinds) - 1
+    for i, (kind, radix, k, p) in enumerate(kinds):
         m //= radix
         use3 = complex_mult == "mult3" and radix >= 128
         if kind == "first":
@@ -365,10 +420,10 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             ti += 1
             if use3:
                 zv = state.reshape(2, radix, m * t)
-                state = _mult3(bd, zv[0], zv[1], radix, algorithm, sd)
+                state = _mult3(bd, zv[0], zv[1], radix, alg0, sd)
             else:
                 z2 = state.reshape(2 * radix, m * t)
-                out = dots.dot(bd, z2, algorithm).astype(sd)
+                out = dots.dot(bd, z2, alg0).astype(sd)
                 state = out.reshape(2, radix, m * t)
         elif kind == "grouped":
             g_tab = table_refs[ti][:]
@@ -385,9 +440,13 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             state = out.reshape(2, radix * k, m * t)
         elif kind == "kloop":
             bd = table_refs[ti][:]
-            w_re = table_refs[ti + 1][:]
-            w_im = table_refs[ti + 2][:]
-            ti += 3
+            if pretwiddle:
+                ti += 1
+                w_re = w_im = None
+            else:
+                w_re = table_refs[ti + 1][:]
+                w_im = table_refs[ti + 2][:]
+                ti += 3
             zv = state.reshape(2, k, radix, m * t)
             # Group g twiddled slices into ONE wide matmul by concatenating
             # along the LANE dim (free — no transpose): the DFT block matrix
@@ -403,6 +462,10 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                 zks_re, zks_im = [], []
                 for j in range(g):
                     kk = gi * g + j
+                    if pretwiddle:  # twiddle already in prior epilogue
+                        zks_re.append(zv[0, kk])
+                        zks_im.append(zv[1, kk])
+                        continue
                     sr32 = zv[0, kk].astype(jnp.float32)
                     si32 = zv[1, kk].astype(jnp.float32)
                     wr = w_re[:, kk][:, None].astype(jnp.float32)
@@ -423,12 +486,17 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             state = out.reshape(2, radix * k, m * t)
         else:  # big
             bd = table_refs[ti][:]
-            w_re = table_refs[ti + 1][:].T[None, :, :, None]  # (1, K, R, 1)
-            w_im = table_refs[ti + 2][:].T[None, :, :, None]
-            ti += 3
-            zv = state.reshape(2, k, radix, m * t).astype(jnp.float32)
-            tw_re = zv[0] * w_re[0] - zv[1] * w_im[0]
-            tw_im = zv[0] * w_im[0] + zv[1] * w_re[0]
+            if pretwiddle:
+                ti += 1
+                zv = state.reshape(2, k, radix, m * t).astype(jnp.float32)
+                tw_re, tw_im = zv[0], zv[1]
+            else:
+                w_re = table_refs[ti + 1][:].T[None, :, :, None]  # (1,K,R,1)
+                w_im = table_refs[ti + 2][:].T[None, :, :, None]
+                ti += 3
+                zv = state.reshape(2, k, radix, m * t).astype(jnp.float32)
+                tw_re = zv[0] * w_re[0] - zv[1] * w_im[0]
+                tw_im = zv[0] * w_im[0] + zv[1] * w_re[0]
             if use3:
                 out = _mult3(
                     bd,
@@ -441,6 +509,20 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                 z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
                 out = dots.dot(bd, z2, algorithm).astype(sd)
             state = out.reshape(2, radix * k, m * t)
+        if pretwiddle and i < last_i:
+            # Epilogue: apply the NEXT stage's twiddle W[j, kk] on this
+            # stage's contiguous output — rows kk = r*K + kk_prev, lane
+            # groups j = next input digit.  T = W.T, shape (rows, R_next).
+            t_re = table_refs[ti][:][None, :, :, None]
+            t_im = table_refs[ti + 1][:][None, :, :, None]
+            ti += 2
+            rows = radix * k
+            r_next = radices[i + 1]
+            sv = state.reshape(2, rows, r_next, (m // r_next) * t)
+            o_re = sv[0] * t_re[0] - sv[1] * t_im[0]
+            o_im = sv[0] * t_im[0] + sv[1] * t_re[0]
+            state = jnp.stack([o_re, o_im]).astype(sd).reshape(
+                2, rows, m * t)
     return state, ti
 
 
@@ -448,7 +530,8 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
                           grouped: bool = False, state_dtype=jnp.float32,
                           kloop_width: int = _KLOOP_WIDTH,
                           complex_mult: str = "block",
-                          engine: str = "stacked"):
+                          engine: str = "stacked",
+                          first_dot: str = "default"):
     """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
 
     State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
@@ -480,6 +563,7 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
         s_re, s_im, _ = stage_loop_planar(
             re_ref[:], im_ref[:], table_refs, radices, algorithm, n, t,
             fold=(engine == "planar"), state_dtype=state_dtype,
+            first_dot=first_dot,
         )
         out_re_ref[:] = s_re.reshape(n, t).astype(out_re_ref.dtype)
         out_im_ref[:] = s_im.reshape(n, t).astype(out_im_ref.dtype)
@@ -498,7 +582,9 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
         state = state.astype(state_dtype)
     state, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
                           grouped=grouped, state_dtype=state_dtype,
-                          kloop_width=kloop_width, complex_mult=complex_mult)
+                          kloop_width=kloop_width, complex_mult=complex_mult,
+                          first_dot=first_dot,
+                          pretwiddle=(engine == "pretwiddle"))
     out_re_ref[:] = state[0].reshape(n, t).astype(out_re_ref.dtype)
     out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
@@ -507,7 +593,7 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
                      "interpret", "grouped", "state_dtype", "kloop_width",
-                     "complex_mult", "engine"),
+                     "complex_mult", "engine", "first_dot"),
 )
 def fused_fft(
     re,
@@ -524,6 +610,7 @@ def fused_fft(
     kloop_width: int = _KLOOP_WIDTH,
     complex_mult: str = "block",
     engine: str = "stacked",
+    first_dot: str = "default",
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
@@ -551,10 +638,12 @@ def fused_fft(
 
     if engine in ("planar", "planar_vpu"):
         table_arrays = planar_stage_tables(radices, scales, sign, algorithm,
-                                           fold=(engine == "planar"))
+                                           fold=(engine == "planar"),
+                                           first_dot=first_dot)
     else:
         table_arrays = stage_table_arrays(radices, scales, sign, algorithm,
-                                          grouped)
+                                          grouped, first_dot=first_dot,
+                                          pretwiddle=(engine == "pretwiddle"))
 
     data_spec = pl.BlockSpec((n, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     table_specs = [
@@ -568,7 +657,8 @@ def fused_fft(
                                                  grouped, state_dtype=sd,
                                                  kloop_width=kloop_width,
                                                  complex_mult=complex_mult,
-                                                 engine=engine)
+                                                 engine=engine,
+                                                 first_dot=first_dot)
 
     out_re, out_im = pl.pallas_call(
         kernel,

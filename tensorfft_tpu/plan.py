@@ -271,6 +271,14 @@ class FFTPlan:
     # 'planar_vpu' is planar with a shared DFT matrix + VPU twiddles (small
     # tables).  Tuner knob; fused-path kernels only.
     engine: str = "stacked"
+    # First-stage matmul compensation for the bf16 policy: 'bf16ax2' splits
+    # the (constant) DFT matrix into hi+lo bf16 terms (2 MXU products) so
+    # the first stage — which has no twiddle error and dominates small-N
+    # deviation — runs at ~fp32 matrix accuracy while the data operand stays
+    # the exact bf16 storage.  create_plan's 'auto' enables it for
+    # fft_length <= 1024 under the bfloat16 policy (round-2 verdict item 5:
+    # the N=256 gate margin was 14%).  Non-bf16 policies ignore it.
+    first_dot: str = "default"
 
     def __post_init__(self):
         if not is_power_of_2(self.fft_length):
@@ -292,8 +300,11 @@ class FFTPlan:
             raise ValueError(f"bad state_dtype {self.state_dtype!r}")
         if self.complex_mult not in ("block", "mult3"):
             raise ValueError(f"bad complex_mult {self.complex_mult!r}")
-        if self.engine not in ("stacked", "planar", "planar_vpu"):
+        if self.engine not in ("stacked", "planar", "planar_vpu",
+                               "pretwiddle"):
             raise ValueError(f"bad engine {self.engine!r}")
+        if self.first_dot not in ("default", "bf16ax2"):
+            raise ValueError(f"bad first_dot {self.first_dot!r}")
         if self.four_step_split is not None:
             n1, n2 = self.four_step_split
             if n1 * n2 != self.fft_length:
@@ -410,6 +421,16 @@ def create_plan(
     kloop_width = int(tuning.get("kloop_width", 128))
     complex_mult = str(tuning.get("complex_mult", "block"))
     engine = str(tuning.get("engine", "stacked"))
+    first_dot = str(tuning.get("first_dot", "auto"))
+    if first_dot == "auto":
+        # Small-N bf16 transforms get the compensated first stage by
+        # default: measured ~40%+ extra gate headroom at N=256 for a
+        # first-stage-only MAC increase (see results/RESULTS.md).
+        first_dot = (
+            "bf16ax2"
+            if precision is Precision.BFLOAT16 and fft_length <= 1024
+            else "default"
+        )
 
     four_step_split = None
     col_radices = None
@@ -459,6 +480,7 @@ def create_plan(
         kloop_width=kloop_width,
         complex_mult=complex_mult,
         engine=engine,
+        first_dot=first_dot,
     )
 
 

@@ -36,10 +36,23 @@ def _pack_tables(n: int, sign: int):
     )
 
 
-def _reverse_conj_index(m: int):
-    # indices (m - k) mod m for k = 0..m
-    idx = (m - np.arange(m + 1)) % m
-    return jnp.asarray(idx, jnp.int32)
+def _extend(z):
+    """z[..., k] for k = 0..M (period-M extension): append bin 0."""
+    return jnp.concatenate([z, z[..., :1]], axis=-1)
+
+
+def _reverse_extend(z):
+    """z[..., (M-k) mod M] for k = 0..M without a gather.
+
+    The index sequence is [0, M-1, M-2, ..., 1, 0]: one lane-dim reverse
+    (jnp.flip — an XLA Reverse, cheap on TPU) bracketed by bin 0.  The naive
+    jnp.take formulation is a lane-dimension gather, the classic TPU slow
+    path (round-2 verdict: the untangle step was never measured and gathers
+    were the suspected cost).
+    """
+    return jnp.concatenate(
+        [z[..., :1], jnp.flip(z[..., 1:], axis=-1), z[..., :1]], axis=-1
+    )
 
 
 def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
@@ -64,11 +77,10 @@ def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
     Z_re = Z_re.astype(jnp.float32)
     Z_im = Z_im.astype(jnp.float32)
 
-    idx = _reverse_conj_index(m)
-    u_re = jnp.take(Z_re, jnp.asarray(np.arange(m + 1) % m), axis=-1)
-    u_im = jnp.take(Z_im, jnp.asarray(np.arange(m + 1) % m), axis=-1)
-    v_re = jnp.take(Z_re, idx, axis=-1)
-    v_im = -jnp.take(Z_im, idx, axis=-1)
+    u_re = _extend(Z_re)
+    u_im = _extend(Z_im)
+    v_re = _reverse_extend(Z_re)
+    v_im = -_reverse_extend(Z_im)
 
     w_re, w_im = _pack_tables(n, -1)
     a_re, a_im = u_re + v_re, u_im + v_im          # U + V
@@ -115,12 +127,12 @@ def irfft_split(re, im, plan: Optional[FFTPlan] = None, n: Optional[int] = None,
 
     # Rebuild Z[k], k = 0..M-1 from X: Z[k] = (A[k] + i*wi[k]*B[k]) where
     # A = X[k] + conj(X[M-k]), B = X[k] - conj(X[M-k]), wi[k] = exp(+2pi i k/N).
-    idx = np.arange(m)
-    rev = m - idx  # X index M-k, valid since X has M+1 bins
-    x_re_k = re[..., idx]
-    x_im_k = im[..., idx]
-    x_re_r = re[..., rev]
-    x_im_r = -im[..., rev]
+    # X index M-k for k = 0..M-1 is a pure lane reverse of bins 1..M (no
+    # gather; see _reverse_extend).
+    x_re_k = re[..., :m]
+    x_im_k = im[..., :m]
+    x_re_r = jnp.flip(re[..., 1:], axis=-1)
+    x_im_r = -jnp.flip(im[..., 1:], axis=-1)
     a_re, a_im = x_re_k + x_re_r, x_im_k + x_im_r
     b_re, b_im = x_re_k - x_re_r, x_im_k - x_im_r
     w_re_full, w_im_full = _pack_tables(n, +1)

@@ -217,6 +217,10 @@ def chain_step_for_plan(plan, forward: bool = True):
                if plan.state_dtype != "float32" else {}),
             **({"complex_mult": plan.complex_mult}
                if plan.complex_mult != "block" else {}),
+            **({"engine": plan.engine}
+               if plan.engine != "stacked" else {}),
+            **({"first_dot": plan.first_dot}
+               if plan.first_dot != "default" else {}),
         },
     )
 
@@ -234,7 +238,8 @@ def run_bench_over_search_space(
     precision: str = "bfloat16",
     measure_kwargs: Optional[dict] = None,
 ):
-    """Measure every config; returns list of (config, time_ns) (Bench.h:22-69)."""
+    """Measure every config; returns a list of (config, time_ns, sigma_ns)
+    tuples (Bench.h:22-69 analog; sigma feeds the TunerData dump)."""
     import jax.numpy as jnp
 
     from tensorfft_tpu.testing.timer import chain_measure
@@ -255,10 +260,14 @@ def run_bench_over_search_space(
             # chain_measure reports NaN when every slope is non-positive
             # (noisy relay window); NaN never loses a min() comparison, so an
             # unmeasured config could otherwise be crowned.
-            results.append((cfg, float("inf") if np.isnan(t) else t))
+            results.append((
+                cfg,
+                float("inf") if np.isnan(t) else t,
+                r.std_deviation_ns / divisor,
+            ))
         except Exception as e:  # config invalid on this device — skip, like
             # the reference skipping PlanWorksOnDevice failures
-            results.append((cfg, float("inf")))
+            results.append((cfg, float("inf"), 0.0))
     return results
 
 
@@ -282,7 +291,8 @@ def _config_from_entry(entry: dict) -> RunConfig:
     )
 
 
-def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt):
+def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt,
+                       audit=None):
     """Challenge the sweep winner with a single-knob twin via an interleaved
     chain_compare (decision-grade) instead of doubling the whole sweep.
 
@@ -312,6 +322,9 @@ def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt):
         return best_cfg, best_ns
     t_a = r_a.average_time_ns / div_a
     t_b = r_b.average_time_ns / div_b
+    if audit is not None:
+        audit.append((best_cfg, t_a, r_a.std_deviation_ns / div_a, "h2h"))
+        audit.append((alt, t_b, r_b.std_deviation_ns / div_b, "h2h"))
     if not np.isnan(t_b) and (np.isnan(t_a) or t_b < t_a):
         return alt, t_b
     if not np.isnan(t_a):
@@ -325,6 +338,7 @@ def tune(
     precision: str = "bfloat16",
     cache=None,
     measure_kwargs: Optional[dict] = None,
+    dump_dir=None,
 ) -> dict:
     """Tune one fft_length and (optionally) persist the winner to ``cache``.
 
@@ -333,6 +347,11 @@ def tune(
     a challenger only replaces it after winning a decision-grade interleaved
     head-to-head (chain_compare) — sequential sweeps drift tens of percent
     across a window, which otherwise crowns arbitrary configs.
+
+    ``dump_dir`` writes the full per-config measurement table to
+    ``tuner_data_<n>.dat`` there (the reference's TunerData_<N>.dat,
+    FileWriter.h:227-248) so tuner decisions stay auditable — round-2
+    verdict item 6.
     """
     import jax
 
@@ -350,7 +369,8 @@ def tune(
         n, configs, batch=batch, precision=precision,
         measure_kwargs=measure_kwargs,
     )
-    best_cfg, best_ns = min(results, key=lambda r: r[1])
+    audit = [(cfg, t, s, "sweep") for cfg, t, s in results]
+    best_cfg, best_ns, _ = min(results, key=lambda r: r[1])
     best_cfg, best_ns = _twin_head_to_head(
         n, best_cfg, best_ns, batch, precision,
         dataclasses.replace(
@@ -358,6 +378,18 @@ def tune(
             state_dtype="bfloat16" if best_cfg.state_dtype == "float32"
             else "float32",
         ),
+        audit=audit,
+    )
+    # The planar engine (separate re/im planes, twiddle-folded constants)
+    # backs both the fused kernel and the four-step pass kernels; challenge
+    # the winner with the other engine.
+    best_cfg, best_ns = _twin_head_to_head(
+        n, best_cfg, best_ns, batch, precision,
+        dataclasses.replace(
+            best_cfg,
+            engine="planar" if best_cfg.engine == "stacked" else "stacked",
+        ),
+        audit=audit,
     )
     # mult3 only changes radix >= 128 stages; challenge when one exists.
     stage_radices = []
@@ -379,6 +411,7 @@ def tune(
                 complex_mult="mult3" if best_cfg.complex_mult == "block"
                 else "block",
             ),
+            audit=audit,
         )
     # kloop_width doubles how many twiddled slices pack into one stage
     # matmul (fewer MXU pipeline fills per kloop stage); only fused-path
@@ -390,6 +423,7 @@ def tune(
                 best_cfg,
                 kloop_width=256 if best_cfg.kloop_width == 128 else 128,
             ),
+            audit=audit,
         )
     if incumbent_cfg is not None and best_cfg != incumbent_cfg:
         import jax.numpy as jnp
@@ -409,6 +443,10 @@ def tune(
         r_inc, r_new = chain_compare(step_inc, step_new, (re, im))
         t_inc = r_inc.average_time_ns / div_inc
         t_new = r_new.average_time_ns / div_new
+        audit.append((incumbent_cfg, t_inc,
+                      r_inc.std_deviation_ns / div_inc, "incumbent-guard"))
+        audit.append((best_cfg, t_new,
+                      r_new.std_deviation_ns / div_new, "incumbent-guard"))
         if np.isnan(t_new) or t_inc <= t_new:
             best_cfg, best_ns = incumbent_cfg, t_inc
         else:
@@ -422,6 +460,11 @@ def tune(
         entry_out["radices"] = list(entry_out["radices"])
     if entry_out.get("four_step_split") is not None:
         entry_out["four_step_split"] = list(entry_out["four_step_split"])
+    if dump_dir is not None:
+        from tensorfft_tpu.testing.io import write_tuner_data
+
+        write_tuner_data(n, batch, precision, audit, best_cfg.as_tuning(),
+                         dump_dir)
     if cache is not None:
         platform = jax.devices()[0].platform
         cache.put(n, precision, platform, entry_out, batch=batch)

@@ -121,6 +121,7 @@ def overlap_estimate(
     compute_seconds: float,
     max_chunks: int = 8,
     spec: DeviceSpec | None = None,
+    efficiency: float = 0.8,
 ) -> OverlapEstimate:
     """Predict whether software-pipelining a global transpose pays off.
 
@@ -146,7 +147,8 @@ def overlap_estimate(
     if spec is None:
         spec = device_spec()
     latency_floor = 5e-6
-    t_comm = all_to_all_seconds(local_bytes, n_devices, spec)
+    t_comm = all_to_all_seconds(local_bytes, n_devices, spec,
+                                efficiency=efficiency)
     serial = t_comm + compute_seconds
     best_c, best_t = 1, serial
     c = 2

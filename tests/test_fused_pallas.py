@@ -262,3 +262,133 @@ def test_mult3_matches_block_and_oracle():
     check(1 << 16, {"strategy": "four_step", "four_step_split": (128, 512),
                     "col_radices": (128,), "row_radices": (4, 128),
                     "complex_mult": "mult3"})
+
+
+def test_planar_engine_matches_oracle():
+    # Round-3 planar engine: separate re/im planes, twiddle-folded merged
+    # [D_re; D_im] constants.  Must match the oracle at gate accuracy for
+    # every structural case: single-stage, two-stage, >2-stage (kloop),
+    # k > _MAX_KLOOP ('big' branch), and both fold variants.
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    for n, radices in [(256, (256,)), (4096, (64, 64)),
+                       (1024, (16, 16, 4)), (16384, (64, 256))]:
+        re = rng.standard_normal((n, 8)).astype(np.float32)
+        im = rng.standard_normal((n, 8)).astype(np.float32)
+        want = np.fft.fft(re + 1j * im, axis=0) / n
+        from tensorfft_tpu.fft import stage_scales
+        from tensorfft_tpu.ops.fused_pallas import fused_fft
+
+        scales = stage_scales(radices, "forward", True)
+        for engine in ("planar", "planar_vpu"):
+            o_re, o_im = fused_fft(
+                jnp.asarray(re, jnp.bfloat16), jnp.asarray(im, jnp.bfloat16),
+                radices=radices, scales=scales, engine=engine,
+            )
+            got = (np.asarray(o_re, np.float64)
+                   + 1j * np.asarray(o_im, np.float64))
+            err = np.abs(got - want).mean()
+            assert err < 1e-3, (n, radices, engine, err)
+
+
+def test_pretwiddle_engine_matches_oracle():
+    # Round-3 pretwiddle engine: each stage's twiddle is hoisted into the
+    # PREVIOUS stage's epilogue as one broadcast multiply on the contiguous
+    # output view (the stage breakdown located ~600 us of per-slice VPU
+    # twiddle cost at the headline config).  Must match the oracle at gate
+    # accuracy for every structural case: two-stage, >2-stage (chained
+    # epilogues), k > _MAX_KLOOP ('big' branch), and mult3 composition.
+    import jax.numpy as jnp
+
+    from tensorfft_tpu.fft import stage_scales
+    from tensorfft_tpu.ops.fused_pallas import fused_fft
+
+    rng = np.random.default_rng(23)
+    cases = [
+        (256, (256,), {}),
+        (4096, (64, 64), {}),
+        (16384, (64, 256), {}),
+        (1024, (16, 16, 4), {}),
+        (65536, (128, 4, 128), {}),       # K=512 'big' stage epilogue
+        (16384, (128, 128), {"complex_mult": "mult3"}),
+    ]
+    for n, radices, kw in cases:
+        re = rng.standard_normal((n, 8)).astype(np.float32)
+        im = rng.standard_normal((n, 8)).astype(np.float32)
+        want = np.fft.fft(re + 1j * im, axis=0) / n
+        scales = stage_scales(radices, "forward", True)
+        o_re, o_im = fused_fft(
+            jnp.asarray(re, jnp.bfloat16), jnp.asarray(im, jnp.bfloat16),
+            radices=radices, scales=scales, engine="pretwiddle", **kw,
+        )
+        got = (np.asarray(o_re, np.float64)
+               + 1j * np.asarray(o_im, np.float64))
+        err = np.abs(got - want).mean()
+        assert err < 1e-3, (n, radices, kw, err)
+
+
+def test_engine_knobs_through_public_paths():
+    # The engine knob must reach every dispatch path: the fused public path,
+    # the four-step passes, and fft2 — each at gate accuracy (float32 policy
+    # so the check is tight).
+    import tensorfft_tpu as tfft
+
+    rng = np.random.default_rng(29)
+    for engine in ("planar", "pretwiddle"):
+        n = 1 << 16
+        re = rng.standard_normal((2, n)).astype(np.float32)
+        im = rng.standard_normal((2, n)).astype(np.float32)
+        want = np.fft.fft(re + 1j * im, axis=-1) / n
+        plan = tfft.create_plan(
+            n, precision="float32",
+            tuning={"strategy": "four_step", "four_step_split": (256, 256),
+                    "engine": engine})
+        o_re, o_im = tfft.fft_split(re, im, plan)
+        got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+        assert np.abs(got - want).max() < 1e-4, (engine,)
+
+        h = w = 256
+        re2 = rng.standard_normal((1, h, w)).astype(np.float32)
+        im2 = rng.standard_normal((1, h, w)).astype(np.float32)
+        want2 = np.fft.fft2(re2 + 1j * im2, axes=(1, 2)) / (h * w)
+        from tensorfft_tpu.ops.four_step_pallas import fft2_fused
+
+        o2_re, o2_im = fft2_fused(
+            np.asarray(re2, np.float32), np.asarray(im2, np.float32),
+            radices1=(h,), radices2=(w,),
+            scales1=(1.0 / h,), scales2=(1.0 / w,), sign=-1,
+            algorithm="bf16x3", engine=engine)
+        got2 = (np.asarray(o2_re, np.float64)
+                + 1j * np.asarray(o2_im, np.float64))
+        assert np.abs(got2 - want2).max() < 1e-4, (engine,)
+
+
+def test_first_dot_compensation_small_n():
+    # Round-2 verdict item 5: the bf16 small-N gate margin.  The compensated
+    # first stage (matrix-side hi+lo split) must strictly reduce deviation
+    # at N<=1024 and be the auto default exactly there.
+    import tensorfft_tpu as tfft
+    from tensorfft_tpu.testing import deviation, fft_oracle, make_test_signal
+
+    assert tfft.create_plan(256).first_dot == "bf16ax2"
+    assert tfft.create_plan(1024).first_dot == "bf16ax2"
+    assert tfft.create_plan(2048).first_dot == "default"
+    assert tfft.create_plan(256, precision="float32").first_dot == "default"
+
+    for n in (256, 1024):
+        devs = {}
+        for fd in ("default", "bf16ax2"):
+            avg = []
+            for i in range(3):
+                re, im = make_test_signal(n, 42 * (i + 1), 42 * 42 * (i + 1),
+                                          cutoff=256)
+                plan = tfft.create_plan(n, tuning={"first_dot": fd})
+                got = tfft.fft_split(re, im, plan)
+                avg.append(deviation(
+                    (np.asarray(got[0], np.float64),
+                     np.asarray(got[1], np.float64)),
+                    fft_oracle(re, im)).average)
+            devs[fd] = float(np.mean(avg))
+        assert devs["bf16ax2"] < devs["default"], (n, devs)
+        assert devs["bf16ax2"] <= 1e-3, (n, devs)  # gate with extra headroom

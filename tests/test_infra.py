@@ -131,6 +131,21 @@ def test_overlap_perf_model():
     # Single device: no comm at all.
     assert all_to_all_seconds(local_bytes, 1, v5p) == 0.0
 
+    # The committed config-5 prediction band (results/RESULTS.md): across
+    # ICI efficiency 0.6-0.9 the model keeps recommending c=4 and the
+    # per-phase speedup stays in ~1.3-1.4x — the acceptance envelope for a
+    # future real v5p-16 run.
+    compute = 130e-6
+    for eff, comm_lo, comm_hi in [(0.9, 120e-6, 140e-6),
+                                  (0.8, 135e-6, 155e-6),
+                                  (0.6, 180e-6, 210e-6)]:
+        tc = all_to_all_seconds(local_bytes, 16, v5p, efficiency=eff)
+        assert comm_lo < tc < comm_hi, (eff, tc)
+        est_e = overlap_estimate(local_bytes, 16, compute_seconds=compute,
+                                 spec=v5p, efficiency=eff)
+        assert est_e.chunks == 4, (eff, est_e)
+        assert 1.25 < est_e.speedup < 1.45, (eff, est_e.speedup)
+
 
 def test_chain_span_calibration():
     # Auto-calibration targets ~target_seconds of device work per chain and
