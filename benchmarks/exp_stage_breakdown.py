@@ -121,6 +121,155 @@ def main():
         o_re[:] = s3[0].transpose(1, 0, 2).reshape(n, t).astype(o_re.dtype)
         o_im[:] = s3[1].transpose(1, 0, 2).reshape(n, t).astype(o_im.dtype)
 
+    def make_custom4d(state_dtype=jnp.float32, slicestore=False):
+        """Correct-math stage-2 restructure: ONE broadcast twiddle on the 4D
+        relayouted view (instead of per-slice 2D multiplies — lets Mosaic
+        fuse the multiply into the relayout traversal), optional direct
+        per-slice stores into a 3D (r2, k, t) output ref (instead of
+        building the interleaved tensor in VMEM via jnp.stack)."""
+
+        def kernel(*refs):
+            re_ref, im_ref = refs[0], refs[1]
+            o_re, o_im = refs[-2], refs[-1]
+            bd1 = refs[2]
+            bd2, w_re_r, w_im_r = refs[3], refs[4], refs[5]
+            state = jnp.stack([re_ref[:], im_ref[:]]).astype(jnp.float32)
+            state, _ = fused_pallas.stage_loop(
+                state, [bd1], (r1,), "bf16", n, t, state_dtype=state_dtype)
+            bd = bd2[:]
+            w4r = w_re_r[:].T[:, :, None]  # (K, R, 1)
+            w4i = w_im_r[:].T[:, :, None]
+            zv = state.reshape(2, k, r2, mt)
+            tw_re = (zv[0] * w4r - zv[1] * w4i).astype(state_dtype)
+            tw_im = (zv[0] * w4i + zv[1] * w4r).astype(state_dtype)
+            outs = []
+            for kk in range(k):
+                z_wide = jnp.concatenate([tw_re[kk], tw_im[kk]], axis=0)
+                out_g = dots.dot(bd, z_wide, "bf16")
+                if slicestore:
+                    o_re[:, kk, :] = out_g[:r2].astype(o_re.dtype)
+                    o_im[:, kk, :] = out_g[r2:].astype(o_im.dtype)
+                else:
+                    outs.append(out_g.reshape(2, r2, mt))
+            if not slicestore:
+                out = jnp.stack(outs, axis=2)
+                state = out.reshape(2, r2 * k, mt)
+                o_re[:] = state[0].reshape(n, t).astype(o_re.dtype)
+                o_im[:] = state[1].reshape(n, t).astype(o_im.dtype)
+
+        return kernel
+
+    def call3d(kernel, tables):
+        # In/out as (r2, k, b): tile-layout-identical to (n, b) with rows
+        # j2*k + kk (k % 8 == 0 keeps (8, 128) tiles aligned), so the
+        # (n, b) <-> 3D reshapes are free metadata changes, the chain stays
+        # shape-stationary, and the kernel can store per-slice (r2, 1, t)
+        # blocks directly instead of materializing the interleave in VMEM.
+        table_specs = [
+            pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in tables
+        ]
+        spec3 = pl.BlockSpec((r2, k, t), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+        f = pl.pallas_call(
+            kernel,
+            grid=(b // t,),
+            in_specs=[spec3, spec3] + table_specs,
+            out_specs=(spec3, spec3),
+            out_shape=(
+                jax.ShapeDtypeStruct((r2, k, b), jnp.bfloat16),
+                jax.ShapeDtypeStruct((r2, k, b), jnp.bfloat16),
+            ),
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+                dimension_semantics=("arbitrary",),
+            ),
+        )
+
+        def run(a, c):
+            o_re, o_im = f(a.reshape(r2, k, b), c.reshape(r2, k, b), *tables)
+            return o_re.reshape(n, b), o_im.reshape(n, b)
+
+        return jax.jit(run)
+
+    def make_gridslice(state_dtype=jnp.float32, g8=8):
+        """Kill the stage-2 output interleave by DMA: grid (b/t, k/g8), each
+        group of g8 slices is its own (r2, g8, t) OUTPUT BLOCK into a
+        (r2, k, b) HBM array (== (n, b) row-major, free reshape).  The big
+        (r2, k) interleave becomes HBM addressing done by the output DMA
+        engine plus tiny per-group (r2, g8) stacks that never cross an
+        8-sublane tile (Mosaic rejects blocks whose dim -2 isn't a multiple
+        of 8, so g8 >= 8; the jnp.stack relayout, ~615 us, and the
+        slicestore masked-store variant, +700 us, both happened in VMEM).
+        Stage 1 + the broadcast twiddle run once per batch tile (kg == 0)
+        into a VMEM scratch that persists across the k/g8 inner grid steps."""
+        bd1_a, bd2_a, w_re_a, w_im_a = tables_full
+        w4r_a = np.ascontiguousarray(np.asarray(w_re_a).T)[:, :, None]
+        w4i_a = np.ascontiguousarray(np.asarray(w_im_a).T)[:, :, None]
+        tabs = [bd1_a, bd2_a, jnp.asarray(w4r_a), jnp.asarray(w4i_a)]
+
+        def kernel(re_ref, im_ref, bd1, bd2, w4r, w4i, o_re, o_im, scr):
+            kg = pl.program_id(1)
+
+            @pl.when(kg == 0)
+            def _stage1():
+                state = jnp.stack(
+                    [re_ref[:].reshape(n, t), im_ref[:].reshape(n, t)])
+                state = state.astype(jnp.float32)
+                state, _ = fused_pallas.stage_loop(
+                    state, [bd1], (r1,), "bf16", n, t,
+                    state_dtype=state_dtype)
+                zv = state.reshape(2, k, r2, mt)
+                tw_re = (zv[0] * w4r[:] - zv[1] * w4i[:]).astype(state_dtype)
+                tw_im = (zv[0] * w4i[:] + zv[1] * w4r[:]).astype(state_dtype)
+                scr[0] = tw_re
+                scr[1] = tw_im
+
+            chunk_re = scr[0, pl.ds(kg * g8, g8)]  # (g8, r2, mt)
+            chunk_im = scr[1, pl.ds(kg * g8, g8)]
+            outs = []
+            for j in range(g8):
+                z_wide = jnp.concatenate([chunk_re[j], chunk_im[j]], axis=0)
+                outs.append(dots.dot(bd2[:], z_wide, "bf16"))
+            out = jnp.stack(outs, axis=1)  # (2*r2, g8, t)
+            o_re[:] = out[:r2].astype(o_re.dtype)
+            o_im[:] = out[r2:].astype(o_im.dtype)
+
+        table_specs = [
+            pl.BlockSpec(np.asarray(a).shape,
+                         lambda i, kg, nd=np.asarray(a).ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in tabs
+        ]
+        in3 = pl.BlockSpec((r2, k, t), lambda i, kg: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+        out3 = pl.BlockSpec((r2, g8, t), lambda i, kg: (0, kg, i),
+                            memory_space=pltpu.VMEM)
+        f = pl.pallas_call(
+            kernel,
+            grid=(b // t, k // g8),
+            in_specs=[in3, in3] + table_specs,
+            out_specs=(out3, out3),
+            out_shape=(
+                jax.ShapeDtypeStruct((r2, k, b), jnp.bfloat16),
+                jax.ShapeDtypeStruct((r2, k, b), jnp.bfloat16),
+            ),
+            scratch_shapes=[pltpu.VMEM((2, k, r2, mt), state_dtype)],
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )
+
+        def run(a, c):
+            o_re, o_im = f(a.reshape(r2, k, b), c.reshape(r2, k, b), *tabs)
+            return o_re.reshape(n, b), o_im.reshape(n, b)
+
+        return jax.jit(run)
+
     def make_custom(mode):
         # Stage 1 production, stage 2 in `mode`.
         def kernel(*refs):
@@ -196,11 +345,23 @@ def main():
         "planar_b16": lambda: prod(engine="planar", state_dtype="bfloat16"),
         "planar_vpu": lambda: prod(engine="planar_vpu"),
         "pretwid": lambda: prod(engine="pretwiddle"),
+        "pretwid_b16": lambda: prod(engine="pretwiddle",
+                                    state_dtype="bfloat16"),
         "pretwid_m3": lambda: prod(engine="pretwiddle", complex_mult="mult3"),
         "pretwid_128": lambda: prod(engine="pretwiddle",
                                     radices=(128, 128),
                                     scales=stage_scales((128, 128),
                                                         plan.scaling, True)),
+        "kloop4d": lambda: call(make_custom4d(), tables_full),
+        "kloop4d_b16": lambda: call(make_custom4d(jnp.bfloat16),
+                                    tables_full),
+        "kloop4d_ss": lambda: call3d(make_custom4d(slicestore=True),
+                                     tables_full),
+        "kloop4d_b16_ss": lambda: call3d(
+            make_custom4d(jnp.bfloat16, slicestore=True), tables_full),
+        "gridslice": lambda: make_gridslice(),
+        "gridslice_b16": lambda: make_gridslice(jnp.bfloat16),
+        "gridslice16": lambda: make_gridslice(g8=16),
     }
     if args.variants:
         keep = set(args.variants.split(","))

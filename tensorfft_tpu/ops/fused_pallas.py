@@ -432,56 +432,68 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             outs = []
             for g in range(k // p):
                 zg = zv[:, g * p:(g + 1) * p].reshape(2 * p * radix, m * t)
-                outs.append(
-                    dots.dot(g_tab[g], zg, algorithm).astype(sd)
-                    .reshape(2, radix, p, m * t)
-                )
+                o = dots.dot(g_tab[g], zg, algorithm).astype(sd)
+                # p == 1 keeps slices 3D — a trailing singleton pack axis
+                # makes Mosaic lower the interleave stack measurably slower
+                # (same finding as the kloop branch: 1939 vs 1516 us at
+                # N=16384/b=4096 for shape-identical math).
+                outs.append(o.reshape(2, radix, m * t) if p == 1
+                            else o.reshape(2, radix, p, m * t))
             out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
             state = out.reshape(2, radix * k, m * t)
         elif kind == "kloop":
             bd = table_refs[ti][:]
+            zv = state.reshape(2, k, radix, m * t)
             if pretwiddle:
                 ti += 1
-                w_re = w_im = None
+                tw_re, tw_im = zv[0], zv[1]
             else:
+                # ONE broadcast twiddle on the whole 4D view, NOT per-slice
+                # 2D multiplies inside the slice loop: Mosaic fuses the
+                # broadcast into one traversal, while the per-slice form
+                # (k separate cast+multiply pairs) compiled ~420 us slower
+                # at N=16384/b=4096 (round-3 stage breakdown: 1516 vs 1938
+                # us whole-kernel).  Same math, same fp32 multiply.
                 w_re = table_refs[ti + 1][:]
                 w_im = table_refs[ti + 2][:]
                 ti += 3
-            zv = state.reshape(2, k, radix, m * t)
+                w4r = w_re.T[:, :, None]  # (K, R, 1) fp32
+                w4i = w_im.T[:, :, None]
+                tw_re = (zv[0] * w4r - zv[1] * w4i).astype(sd)
+                tw_im = (zv[0] * w4i + zv[1] * w4r).astype(sd)
             # Group g twiddled slices into ONE wide matmul by concatenating
             # along the LANE dim (free — no transpose): the DFT block matrix
-            # is identical across slices and the twiddle runs pre-matmul on
-            # the VPU.  A lone (2R, m*t) slice with m*t = 128 feeds only one
-            # MXU column tile; MXU-bound stages (2R = 256) run ~4x under
-            # peak without the widening.  Target width ~512 lanes.
+            # is identical across slices.  A lone (2R, m*t) slice with
+            # m*t = 128 feeds only one MXU column tile; MXU-bound stages
+            # (2R = 256) run ~4x under peak without the widening — but the
+            # matmuls are ~5% of this kernel's time, so g defaults to 1
+            # (_KLOOP_WIDTH); the plan knob remains for per-length tuning.
             g = 1
             while g * 2 <= k and g * m * t < kloop_width and k % (g * 2) == 0:
                 g *= 2
             outs = []
             for gi in range(k // g):
-                zks_re, zks_im = [], []
-                for j in range(g):
-                    kk = gi * g + j
-                    if pretwiddle:  # twiddle already in prior epilogue
-                        zks_re.append(zv[0, kk])
-                        zks_im.append(zv[1, kk])
-                        continue
-                    sr32 = zv[0, kk].astype(jnp.float32)
-                    si32 = zv[1, kk].astype(jnp.float32)
-                    wr = w_re[:, kk][:, None].astype(jnp.float32)
-                    wi = w_im[:, kk][:, None].astype(jnp.float32)
-                    zks_re.append(sr32 * wr - si32 * wi)
-                    zks_im.append(sr32 * wi + si32 * wr)
-                wide_re = zks_re[0] if g == 1 else jnp.concatenate(zks_re, 1)
-                wide_im = zks_im[0] if g == 1 else jnp.concatenate(zks_im, 1)
+                if g == 1:
+                    wide_re, wide_im = tw_re[gi], tw_im[gi]
+                else:
+                    wide_re = jnp.concatenate(
+                        [tw_re[gi * g + j] for j in range(g)], 1)
+                    wide_im = jnp.concatenate(
+                        [tw_im[gi * g + j] for j in range(g)], 1)
                 if use3:
                     out_g = _mult3(bd, wide_re, wide_im, radix, algorithm, sd)
                 else:
                     z_wide = jnp.concatenate([wide_re, wide_im], axis=0)
                     out_g = dots.dot(bd, z_wide, algorithm).astype(sd)
-                outs.append(out_g.reshape(2, radix, g, m * t))
+                # g == 1 keeps slices 3D: a trailing singleton group axis
+                # (5D stack) makes Mosaic lower the interleave ~25% slower
+                # for the whole kernel (measured 1939 vs 1516 us at
+                # N=16384/b=4096 — shape-identical math, different layout
+                # pass).
+                outs.append(out_g.reshape(2, radix, m * t) if g == 1
+                            else out_g.reshape(2, radix, g, m * t))
             out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
-            # (2, R, K/g, g, M*T) -> row index kk = gi*g + j, matching the
+            # (2, R, K/g[, g], M*T) -> row index kk = gi*g + j, matching the
             # pre-grouping stack order exactly.
             state = out.reshape(2, radix * k, m * t)
         else:  # big

@@ -380,17 +380,21 @@ def tune(
         ),
         audit=audit,
     )
-    # The planar engine (separate re/im planes, twiddle-folded constants)
-    # backs both the fused kernel and the four-step pass kernels; challenge
-    # the winner with the other engine.
-    best_cfg, best_ns = _twin_head_to_head(
-        n, best_cfg, best_ns, batch, precision,
-        dataclasses.replace(
-            best_cfg,
-            engine="planar" if best_cfg.engine == "stacked" else "stacked",
-        ),
-        audit=audit,
-    )
+    # Alternative in-VMEM engines back both the fused kernel and the
+    # four-step pass kernels: 'planar' (separate re/im planes, twiddle-
+    # folded constants).  'pretwiddle' is not challenged: the stacked
+    # engine's kloop now applies the stage twiddle as the same single
+    # broadcast multiply in-stage (round-3 breakdown), so the epilogue
+    # hoist has nothing left to save (measured tie at N=16384/b=4096).
+    # Challenge the winner with each engine it is not already running.
+    for eng in ("stacked", "planar"):
+        if eng == best_cfg.engine:
+            continue
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(best_cfg, engine=eng),
+            audit=audit,
+        )
     # mult3 only changes radix >= 128 stages; challenge when one exists.
     stage_radices = []
     for rads in (best_cfg.radices,
