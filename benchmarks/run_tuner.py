@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--dump-dir", default="results",
                     help="directory for per-config tuner_data_<N>.dat "
                          "audit tables (TunerData_<N>.dat analog)")
+    ap.add_argument("--challenge-only", action="store_true",
+                    help="skip the structural sweep; re-measure the cached "
+                         "incumbent and run only the knob head-to-heads "
+                         "(cheap retune after a shared-engine change)")
     args = ap.parse_args()
 
     from tensorfft_tpu.tuning import TunerCache, tune
@@ -32,8 +36,10 @@ def main():
     n = args.start
     while n <= args.end:
         batch = args.batch if args.batch else max(1, args.batch_elems // n)
+        # challenge-only rounds don't overwrite the full sweep audit table
         entry = tune(n, batch=batch, precision=args.precision, cache=cache,
-                     dump_dir=args.dump_dir)
+                     dump_dir=None if args.challenge_only else args.dump_dir,
+                     challenge_only=args.challenge_only)
         print(f"N={n:>9d}: best {entry}")
         cache.save()
         n *= 2

@@ -385,7 +385,8 @@ def _mult3(bd, z_re, z_im, radix, algorithm, sd):
 def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                grouped: bool = False, state_dtype=jnp.float32,
                kloop_width: int = _KLOOP_WIDTH, complex_mult: str = "block",
-               first_dot: str = "default", pretwiddle: bool = False):
+               first_dot: str = "default", pretwiddle: bool = False,
+               emit_slices: bool = False):
     """Run the whole stage sequence on a stacked (2, n, t) state.
 
     The shared in-VMEM engine behind every kernel (whole-transform fused,
@@ -400,6 +401,15 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
     ``complex_mult='mult3'`` runs radix >= 128 stages as three R x R real
     matmuls instead of one 2R x 2R block matmul (see _mult3); smaller radices
     keep the block form either way.
+
+    ``emit_slices=True`` (the gridslice engine) returns the LAST stage's
+    per-slice outputs as a list of K arrays of shape (2, R, m*t) — row order
+    within each slice is r, slice kk holds output rows r*K + kk — instead of
+    materializing the sublane-interleaved (2, n, t) state.  The interleave
+    (a K-way jnp.stack Mosaic lowers as a full sublane shuffle, measured
+    ~615 us of the N=16384/b=4096 kernel) is then done by the output DMA
+    engine via per-slice grid-blocked HBM stores.  The last stage must be a
+    kloop (g forced to 1) or a p==1 grouped stage.
     """
     sd = state_dtype
     alg0 = (first_dot if (first_dot != "default" and algorithm == "bf16")
@@ -439,6 +449,8 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                 # N=16384/b=4096 for shape-identical math).
                 outs.append(o.reshape(2, radix, m * t) if p == 1
                             else o.reshape(2, radix, p, m * t))
+            if emit_slices and i == last_i and p == 1:
+                return outs, ti
             out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
             state = out.reshape(2, radix * k, m * t)
         elif kind == "kloop":
@@ -469,8 +481,10 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             # matmuls are ~5% of this kernel's time, so g defaults to 1
             # (_KLOOP_WIDTH); the plan knob remains for per-length tuning.
             g = 1
-            while g * 2 <= k and g * m * t < kloop_width and k % (g * 2) == 0:
-                g *= 2
+            if not (emit_slices and i == last_i):
+                while (g * 2 <= k and g * m * t < kloop_width
+                       and k % (g * 2) == 0):
+                    g *= 2
             outs = []
             for gi in range(k // g):
                 if g == 1:
@@ -492,6 +506,8 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                 # pass).
                 outs.append(out_g.reshape(2, radix, m * t) if g == 1
                             else out_g.reshape(2, radix, g, m * t))
+            if emit_slices and i == last_i:
+                return outs, ti
             out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)
             # (2, R, K/g[, g], M*T) -> row index kk = gi*g + j, matching the
             # pre-grouping stack order exactly.
@@ -601,6 +617,77 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
     out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
 
+def gridslice_layout(radices, grouped: bool):
+    """Static gate for engine='gridslice'.
+
+    Returns S, the last stage's slice count (= N / R_last), or None when the
+    plan shape cannot use grid-blocked slice stores: the last stage must be
+    a kloop or a p==1 grouped stage (each emitting S whole (2, R, t)
+    slices), and S must be a sublane multiple so the in-kernel
+    (R, S, t) -> (N, t) input collapse is layout-free.
+    """
+    kind, radix, k, p = list(_stage_kinds(radices, grouped))[-1]
+    if kind == "kloop" or (kind == "grouped" and p == 1):
+        if k % 8 == 0:
+            return k
+    return None
+
+
+def gridslice_kernel_body(refs, scratch, radices, algorithm, grouped,
+                          state_dtype, kloop_width, complex_mult, first_dot,
+                          slice_block=1):
+    """Gridslice engine body: grid = (lane_tiles, S/C), slice dim innermost.
+
+    Step s == 0 runs the whole stage sequence (stage_loop with
+    emit_slices=True) and parks the S last-stage slices CONTIGUOUSLY in
+    scratch — leading-dim writes, no sublane interleave.  Every step then
+    copies C = ``slice_block`` slices to their grid-blocked output block
+    (R, C, t) at position (0, s, i) of the (R, S, B) output; the strided
+    placement that interleaves rows r*S + s in HBM is done by the output
+    DMA engine, not by a K-way in-VMEM jnp.stack (measured ~615 us of the
+    N=16384/b=4096 kernel).  C = 1 stores single-sublane-strided blocks
+    (partial HBM tiles); C = 8/16 stores tile-aligned blocks at the cost of
+    a small per-step C-way interleave that overlaps with the outbound DMA
+    pipeline.  Inputs and tables keep constant block indices across s, so
+    they are fetched once per lane tile.
+    """
+    re_ref, im_ref = refs[0], refs[1]
+    out_re_ref, out_im_ref = refs[-2], refs[-1]
+    table_refs = refs[2:-2]
+    scr_re, scr_im = scratch
+    r_last, s_total, t = re_ref.shape
+    n = r_last * s_total
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _compute():
+        state = jnp.stack([re_ref[:].reshape(n, t), im_ref[:].reshape(n, t)])
+        if not (
+            algorithm == "bf16"
+            and state.dtype == jnp.bfloat16
+            and not (complex_mult == "mult3" and radices[0] >= 128)
+        ):
+            state = state.astype(state_dtype)
+        slices, _ = stage_loop(state, table_refs, radices, algorithm, n, t,
+                               grouped=grouped, state_dtype=state_dtype,
+                               kloop_width=kloop_width,
+                               complex_mult=complex_mult,
+                               first_dot=first_dot, emit_slices=True)
+        for kk, sl in enumerate(slices):
+            scr_re[kk] = sl[0].astype(scr_re.dtype)
+            scr_im[kk] = sl[1].astype(scr_im.dtype)
+
+    c = slice_block
+    if c == 1:
+        out_re_ref[...] = scr_re[s][:, None, :]
+        out_im_ref[...] = scr_im[s][:, None, :]
+    else:
+        out_re_ref[...] = jnp.stack(
+            [scr_re[s * c + j] for j in range(c)], axis=1)
+        out_im_ref[...] = jnp.stack(
+            [scr_im[s * c + j] for j in range(c)], axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
@@ -656,6 +743,67 @@ def fused_fft(
         table_arrays = stage_table_arrays(radices, scales, sign, algorithm,
                                           grouped, first_dot=first_dot,
                                           pretwiddle=(engine == "pretwiddle"))
+
+    if engine.startswith("gridslice"):
+        s_total = gridslice_layout(radices, grouped)
+        slice_block = int(engine[len("gridslice"):] or 1)
+        if s_total is None or s_total % slice_block != 0:
+            raise ValueError(
+                f"engine={engine!r} unsupported for radices {radices} "
+                f"(grouped={grouped}): last stage must emit whole slices "
+                f"with a sublane-multiple slice count divisible by the "
+                f"slice block")
+        r_last = radices[-1]
+        sd = jnp.dtype(state_dtype)
+        grid = (b_padded // t, s_total // slice_block)
+        data_spec3 = pl.BlockSpec((r_last, s_total, t),
+                                  lambda i, s: (0, 0, i),
+                                  memory_space=pltpu.VMEM)
+        out_spec3 = pl.BlockSpec((r_last, slice_block, t),
+                                 lambda i, s: (0, s, i),
+                                 memory_space=pltpu.VMEM)
+        table_specs = [
+            pl.BlockSpec(a.shape, lambda i, s, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in table_arrays
+        ]
+        kernel = lambda *r: gridslice_kernel_body(
+            r[:-2], r[-2:], radices, algorithm, grouped, sd, kloop_width,
+            complex_mult, first_dot, slice_block=slice_block)
+        out_re, out_im = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[data_spec3, data_spec3] + table_specs,
+            out_specs=(out_spec3, out_spec3),
+            out_shape=(
+                jax.ShapeDtypeStruct((r_last, s_total, b_padded), re.dtype),
+                jax.ShapeDtypeStruct((r_last, s_total, b_padded), im.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((s_total, r_last, t), re.dtype),
+                pltpu.VMEM((s_total, r_last, t), im.dtype),
+            ],
+            interpret=interpret,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * sum(4 * max(2 * r, 128) ** 2 * (n // r)
+                              for r in radices) * b_padded // 4,
+                bytes_accessed=2 * 2 * n * b_padded * re.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(re.reshape(r_last, s_total, b_padded),
+          im.reshape(r_last, s_total, b_padded),
+          *table_arrays)
+        out_re = out_re.reshape(n, b_padded)
+        out_im = out_im.reshape(n, b_padded)
+        if pad:
+            out_re = out_re[:, :b]
+            out_im = out_im[:, :b]
+        return out_re, out_im
 
     data_spec = pl.BlockSpec((n, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     table_specs = [

@@ -269,7 +269,12 @@ class FFTPlan:
     # into per-slice constants, eliminating the entry stack, the per-slice
     # re/im gathers, and the VPU twiddle pass (round-3 in-kernel VMEM work);
     # 'planar_vpu' is planar with a shared DFT matrix + VPU twiddles (small
-    # tables).  Tuner knob; fused-path kernels only.
+    # tables).  'gridslice' is stacked with the LAST stage's K-way sublane
+    # interleave (measured ~615 us of the N=16384/b=4096 kernel) deferred to
+    # the output DMA: slices park contiguously in scratch and a second grid
+    # dimension stores each to its strided (R, S, B) HBM block (requires the
+    # last stage to emit whole slices — see fused_pallas.gridslice_layout).
+    # Tuner knob; fused-path kernels only.
     engine: str = "stacked"
     # First-stage matmul compensation for the bf16 policy: 'bf16ax2' splits
     # the (constant) DFT matrix into hi+lo bf16 terms (2 MXU products) so
@@ -301,7 +306,8 @@ class FFTPlan:
         if self.complex_mult not in ("block", "mult3"):
             raise ValueError(f"bad complex_mult {self.complex_mult!r}")
         if self.engine not in ("stacked", "planar", "planar_vpu",
-                               "pretwiddle"):
+                               "pretwiddle", "gridslice", "gridslice8",
+                               "gridslice16"):
             raise ValueError(f"bad engine {self.engine!r}")
         if self.first_dot not in ("default", "bf16ax2"):
             raise ValueError(f"bad first_dot {self.first_dot!r}")

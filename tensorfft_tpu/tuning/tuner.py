@@ -339,6 +339,7 @@ def tune(
     cache=None,
     measure_kwargs: Optional[dict] = None,
     dump_dir=None,
+    challenge_only: bool = False,
 ) -> dict:
     """Tune one fft_length and (optionally) persist the winner to ``cache``.
 
@@ -348,6 +349,13 @@ def tune(
     head-to-head (chain_compare) — sequential sweeps drift tens of percent
     across a window, which otherwise crowns arbitrary configs.
 
+    ``challenge_only=True`` skips the structural sweep and starts from the
+    cached incumbent (which must exist), running only the single-knob twin
+    head-to-heads (state_dtype / engine / complex_mult / kloop_width).  This
+    is the cheap retune after a shared-engine change (e.g. a stage_loop
+    optimization) shifts knob trade-offs without touching the radix/split
+    structure.
+
     ``dump_dir`` writes the full per-config measurement table to
     ``tuner_data_<n>.dat`` there (the reference's TunerData_<N>.dat,
     FileWriter.h:227-248) so tuner decisions stay auditable — round-2
@@ -355,16 +363,22 @@ def tune(
     """
     import jax
 
-    space = get_search_space(n)
-    configs = get_run_configs(space)
     incumbent_cfg = None
     if cache is not None:
         platform = jax.devices()[0].platform
         entry = cache.get(n, precision, platform, batch=batch)
         if entry:
             incumbent_cfg = _config_from_entry(entry)
-            if incumbent_cfg not in configs:
-                configs.append(incumbent_cfg)
+    if challenge_only:
+        if incumbent_cfg is None:
+            raise ValueError(
+                f"challenge_only retune of n={n} needs a cached incumbent")
+        configs = [incumbent_cfg]
+    else:
+        space = get_search_space(n)
+        configs = get_run_configs(space)
+        if incumbent_cfg is not None and incumbent_cfg not in configs:
+            configs.append(incumbent_cfg)
     results = run_bench_over_search_space(
         n, configs, batch=batch, precision=precision,
         measure_kwargs=measure_kwargs,
@@ -387,7 +401,22 @@ def tune(
     # broadcast multiply in-stage (round-3 breakdown), so the epilogue
     # hoist has nothing left to save (measured tie at N=16384/b=4096).
     # Challenge the winner with each engine it is not already running.
-    for eng in ("stacked", "planar"):
+    # 'gridslice' (fused only) defers the last stage's K-way sublane
+    # interleave to grid-blocked per-slice HBM stores; only legal when the
+    # last stage emits whole slices (fused_pallas.gridslice_layout).
+    engine_alts = ["stacked", "planar"]
+    if best_cfg.strategy == "fused":
+        from tensorfft_tpu.ops.fused_pallas import gridslice_layout
+
+        rads = tuple(best_cfg.radices or optimal_radices(n))
+        s_total = gridslice_layout(rads, best_cfg.grouped)
+        if s_total is not None:
+            engine_alts.append("gridslice")
+            if s_total % 16 == 0:
+                # tile-aligned chunked stores (C-way per-step interleave
+                # overlapped with the DMA pipeline) vs single-sublane blocks
+                engine_alts.append("gridslice16")
+    for eng in engine_alts:
         if eng == best_cfg.engine:
             continue
         best_cfg, best_ns = _twin_head_to_head(

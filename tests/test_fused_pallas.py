@@ -328,6 +328,60 @@ def test_pretwiddle_engine_matches_oracle():
         assert err < 1e-3, (n, radices, kw, err)
 
 
+def test_gridslice_engine_matches_stacked_and_oracle():
+    # Round-3 gridslice engine: the LAST stage's K-way sublane interleave
+    # (the ~615 us jnp.stack at the headline config) is deferred to the
+    # output DMA via a second grid dimension storing per-slice (R, 1, T)
+    # blocks of an (R, S, B) output.  Must be BIT-identical to the stacked
+    # engine (same math, different store path) across the structural cases:
+    # kloop last stage, grouped p==1 last stage, mult3, bf16 state, batch
+    # padding, and the unsupported-shape gate.
+    import jax.numpy as jnp
+
+    from tensorfft_tpu.fft import stage_scales
+    from tensorfft_tpu.ops.fused_pallas import fused_fft, gridslice_layout
+
+    rng = np.random.default_rng(31)
+    cases = [
+        (4096, (32, 128), 130, {}),                 # kloop last + padding
+        (16384, (64, 256), 8, {}),                  # headline shape
+        (8192, (64, 128), 8, {"grouped": True}),    # grouped p==1 last
+        (4096, (32, 128), 8, {"complex_mult": "mult3"}),
+        (16384, (64, 256), 8, {"state_dtype": "bfloat16"}),
+        (4096, (32, 128), 8, {"engine": "gridslice8"}),
+        (16384, (64, 256), 8, {"engine": "gridslice16"}),
+    ]
+    for n, radices, b, kw in cases:
+        kw = dict(kw)
+        engine = kw.pop("engine", "gridslice")
+        assert gridslice_layout(radices, kw.get("grouped", False)) == (
+            n // radices[-1])
+        re = rng.standard_normal((n, b)).astype(np.float32)
+        im = rng.standard_normal((n, b)).astype(np.float32)
+        want = np.fft.fft(re + 1j * im, axis=0) / n
+        scales = stage_scales(radices, "forward", True)
+        o_re, o_im = fused_fft(
+            jnp.asarray(re), jnp.asarray(im), radices=radices, scales=scales,
+            algorithm="exact", engine=engine, **kw)
+        s_re, s_im = fused_fft(
+            jnp.asarray(re), jnp.asarray(im), radices=radices, scales=scales,
+            algorithm="exact", engine="stacked", **kw)
+        np.testing.assert_array_equal(np.asarray(o_re), np.asarray(s_re))
+        np.testing.assert_array_equal(np.asarray(o_im), np.asarray(s_im))
+        got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+        tol = 1e-4 if kw.get("state_dtype") == "bfloat16" else 1e-6
+        assert np.abs(got - want).mean() < tol, (n, radices, kw)
+    # Unsupported shapes must be rejected loudly, and gated out of the
+    # tuner's candidate set by gridslice_layout returning None.
+    assert gridslice_layout((16, 16, 64), False) is None  # 'big' last stage
+    with pytest.raises(ValueError, match="gridslice"):
+        fused_fft(jnp.zeros((16384, 8), jnp.float32),
+                  jnp.zeros((16384, 8), jnp.float32),
+                  radices=(16, 16, 64),
+                  scales=stage_scales((16, 16, 64), "forward", True),
+                  engine="gridslice")
+
+
 def test_engine_knobs_through_public_paths():
     # The engine knob must reach every dispatch path: the fused public path,
     # the four-step passes, and fft2 — each at gate accuracy (float32 policy
