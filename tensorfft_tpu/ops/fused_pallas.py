@@ -746,7 +746,9 @@ def fused_fft(
 
     if engine.startswith("gridslice"):
         s_total = gridslice_layout(radices, grouped)
-        slice_block = int(engine[len("gridslice"):] or 1)
+        # C = 8 minimum: Mosaic requires the last two block dims divisible
+        # by (8, 128), so single-slice (R, 1, t) output blocks cannot lower.
+        slice_block = int(engine[len("gridslice"):] or 8)
         if s_total is None or s_total % slice_block != 0:
             raise ValueError(
                 f"engine={engine!r} unsupported for radices {radices} "

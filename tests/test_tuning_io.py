@@ -62,6 +62,29 @@ def test_tune_smoke(tmp_path):
     assert plan.fft_length == 256
 
 
+def test_tune_challenge_only(tmp_path):
+    # challenge_only skips the structural sweep: it starts from the cached
+    # incumbent and runs only the knob head-to-heads (the cheap retune after
+    # a shared stage-engine change).  Requires an incumbent.
+    cache = TunerCache(tmp_path / "cache.json")
+    with pytest.raises(ValueError, match="incumbent"):
+        tune(256, batch=64, precision="float32", cache=cache,
+             challenge_only=True)
+    cache.put(256, "float32", "cpu",
+              {"radices": [16, 16], "strategy": "fused", "lane_tile": 128},
+              batch=64)
+    entry = tune(256, batch=64, precision="float32", cache=cache,
+                 challenge_only=True,
+                 measure_kwargs=dict(iters_low=1, iters_high=2, reps=1))
+    assert entry["strategy"] == "fused"
+    # the re-measured winner is persisted (get() strips time_us/gflops for
+    # create_plan consumption; the raw entry carries them)
+    got = cache.get(256, "float32", "cpu", batch=64)
+    assert got is not None
+    raw = [e for k, e in cache._entries.items() if k.startswith("n=256,")]
+    assert raw and all("time_us" in e for e in raw)
+
+
 def test_result_file_roundtrip(tmp_path):
     re = np.linspace(0, 1, 8)
     im = np.linspace(1, 2, 8)
