@@ -28,6 +28,10 @@ def main():
                     help="skip the structural sweep; re-measure the cached "
                          "incumbent and run only the knob head-to-heads "
                          "(cheap retune after a shared-engine change)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="disable the per-measurement resume journal "
+                         "(/tmp/tfft_tuner) that lets a killed sweep restart "
+                         "where it died")
     args = ap.parse_args()
 
     from tensorfft_tpu.tuning import TunerCache, tune
@@ -36,10 +40,15 @@ def main():
     n = args.start
     while n <= args.end:
         batch = args.batch if args.batch else max(1, args.batch_elems // n)
+        mode = "challenge" if args.challenge_only else "sweep"
+        resume_path = (None if args.no_resume else
+                       f"/tmp/tfft_tuner/resume_{mode}_n{n}_b{batch}_"
+                       f"{args.precision}.jsonl")
         # challenge-only rounds don't overwrite the full sweep audit table
         entry = tune(n, batch=batch, precision=args.precision, cache=cache,
                      dump_dir=None if args.challenge_only else args.dump_dir,
-                     challenge_only=args.challenge_only)
+                     challenge_only=args.challenge_only,
+                     resume_path=resume_path)
         print(f"N={n:>9d}: best {entry}")
         cache.save()
         n *= 2

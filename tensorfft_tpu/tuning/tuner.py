@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import json
+import os
+import subprocess
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -72,6 +75,82 @@ class RunConfig:
         if self.engine != "stacked":
             t["engine"] = self.engine
         return t
+
+
+def _cfg_key(cfg: "RunConfig") -> str:
+    """Stable identity of a candidate for the resume log."""
+    t = cfg.as_tuning()
+    return json.dumps({k: (list(v) if isinstance(v, tuple) else v)
+                       for k, v in t.items()}, sort_keys=True)
+
+
+class ResumeLog:
+    """Append-only measurement journal making a tuner sweep restartable.
+
+    The tunnel to the TPU wedges every 30-60 min under sustained load
+    (round-3 operational reality: seven consecutive 16384 full-sweep attempts
+    died mid-run).  Persisting each measurement as one JSONL row means a
+    killed/retried sweep replays completed configs from disk and only
+    measures what is missing — a wedge costs one data point, not 40 minutes.
+
+    Rows are keyed by the candidate's full tuning dict; head-to-heads by the
+    pair of tuning dicts.  The log is stamped with the repo HEAD so stale
+    journals from older kernel code never poison a retune.
+    """
+
+    def __init__(self, path):
+        self.path = str(path)
+        self._rows = {}
+        stamp = _code_stamp()
+        if os.path.exists(self.path):
+            keep = []
+            try:
+                with open(self.path) as f:
+                    for line in f:
+                        row = json.loads(line)
+                        if row.get("kind") == "meta":
+                            if row.get("stamp") != stamp:
+                                keep = None
+                                break
+                            continue
+                        keep.append(row)
+            except (OSError, json.JSONDecodeError):
+                keep = None
+            if keep is None:
+                os.unlink(self.path)
+            else:
+                for row in keep:
+                    self._rows[row["key"]] = row
+        if not os.path.exists(self.path):
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            with open(self.path, "w") as f:
+                f.write(json.dumps({"kind": "meta", "stamp": stamp}) + "\n")
+
+    def get(self, key: str):
+        return self._rows.get(key)
+
+    def put(self, key: str, **payload):
+        row = {"kind": "row", "key": key, **payload}
+        self._rows[key] = row
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def done(self):
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+def _code_stamp() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 def _radix_candidates(n: int, max_candidates: int = 6) -> List[Tuple[int, ...]]:
@@ -237,9 +316,14 @@ def run_bench_over_search_space(
     batch: int = 1024,
     precision: str = "bfloat16",
     measure_kwargs: Optional[dict] = None,
+    resume: Optional[ResumeLog] = None,
 ):
     """Measure every config; returns a list of (config, time_ns, sigma_ns)
-    tuples (Bench.h:22-69 analog; sigma feeds the TunerData dump)."""
+    tuples (Bench.h:22-69 analog; sigma feeds the TunerData dump).
+
+    With ``resume``, configs already journaled are replayed from disk and
+    fresh measurements are journaled as they land (wedge-survivable sweep).
+    """
     import jax.numpy as jnp
 
     from tensorfft_tpu.testing.timer import chain_measure
@@ -252,6 +336,12 @@ def run_bench_over_search_space(
     im = jnp.asarray(rng.standard_normal((batch, n)), storage)
     results = []
     for cfg in configs:
+        key = _cfg_key(cfg)
+        if resume is not None:
+            row = resume.get(key)
+            if row is not None:
+                results.append((cfg, row["t_ns"], row["s_ns"]))
+                continue
         try:
             plan = create_plan(n, precision=precision, tuning=cfg.as_tuning())
             fn, divisor = chain_step_for_plan(plan)
@@ -268,6 +358,14 @@ def run_bench_over_search_space(
         except Exception as e:  # config invalid on this device — skip, like
             # the reference skipping PlanWorksOnDevice failures
             results.append((cfg, float("inf"), 0.0))
+        if resume is not None:
+            _, t_done, s_done = results[-1]
+            resume.put(key, t_ns=t_done if np.isfinite(t_done) else None,
+                       s_ns=s_done)
+    if resume is not None:
+        # journaled infinities come back as None
+        results = [(c, float("inf") if t is None else t, s)
+                   for c, t, s in results]
     return results
 
 
@@ -292,7 +390,7 @@ def _config_from_entry(entry: dict) -> RunConfig:
 
 
 def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt,
-                       audit=None):
+                       audit=None, resume=None, tag="h2h"):
     """Challenge the sweep winner with a single-knob twin via an interleaved
     chain_compare (decision-grade) instead of doubling the whole sweep.
 
@@ -305,6 +403,20 @@ def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt,
     from tensorfft_tpu.plan import Precision
     from tensorfft_tpu.testing.timer import chain_compare
 
+    key = f"{tag}:{_cfg_key(best_cfg)}|{_cfg_key(alt)}"
+    row = resume.get(key) if resume is not None else None
+    if row is not None:
+        t_a, t_b = row["t_a"], row["t_b"]
+        t_a = float("nan") if t_a is None else t_a
+        t_b = float("nan") if t_b is None else t_b
+        if audit is not None:
+            audit.append((best_cfg, t_a, row["s_a"], tag))
+            audit.append((alt, t_b, row["s_b"], tag))
+        if not np.isnan(t_b) and (np.isnan(t_a) or t_b < t_a):
+            return alt, t_b
+        if not np.isnan(t_a):
+            return best_cfg, t_a
+        return best_cfg, best_ns
     try:
         p_a = create_plan(n, precision=precision, tuning=best_cfg.as_tuning())
         p_b = create_plan(n, precision=precision, tuning=alt.as_tuning())
@@ -322,6 +434,12 @@ def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt,
         return best_cfg, best_ns
     t_a = r_a.average_time_ns / div_a
     t_b = r_b.average_time_ns / div_b
+    if resume is not None:
+        resume.put(key,
+                   t_a=None if np.isnan(t_a) else t_a,
+                   s_a=r_a.std_deviation_ns / div_a,
+                   t_b=None if np.isnan(t_b) else t_b,
+                   s_b=r_b.std_deviation_ns / div_b)
     if audit is not None:
         audit.append((best_cfg, t_a, r_a.std_deviation_ns / div_a, "h2h"))
         audit.append((alt, t_b, r_b.std_deviation_ns / div_b, "h2h"))
@@ -340,6 +458,7 @@ def tune(
     measure_kwargs: Optional[dict] = None,
     dump_dir=None,
     challenge_only: bool = False,
+    resume_path=None,
 ) -> dict:
     """Tune one fft_length and (optionally) persist the winner to ``cache``.
 
@@ -360,9 +479,13 @@ def tune(
     ``tuner_data_<n>.dat`` there (the reference's TunerData_<N>.dat,
     FileWriter.h:227-248) so tuner decisions stay auditable — round-2
     verdict item 6.
+
+    ``resume_path`` journals every measurement (ResumeLog) so a killed
+    sweep restarts where it died — required discipline on this tunnel.
     """
     import jax
 
+    resume = ResumeLog(resume_path) if resume_path else None
     incumbent_cfg = None
     if cache is not None:
         platform = jax.devices()[0].platform
@@ -381,7 +504,7 @@ def tune(
             configs.append(incumbent_cfg)
     results = run_bench_over_search_space(
         n, configs, batch=batch, precision=precision,
-        measure_kwargs=measure_kwargs,
+        measure_kwargs=measure_kwargs, resume=resume,
     )
     audit = [(cfg, t, s, "sweep") for cfg, t, s in results]
     best_cfg, best_ns, _ = min(results, key=lambda r: r[1])
@@ -392,7 +515,7 @@ def tune(
             state_dtype="bfloat16" if best_cfg.state_dtype == "float32"
             else "float32",
         ),
-        audit=audit,
+        audit=audit, resume=resume,
     )
     # Alternative in-VMEM engines back both the fused kernel and the
     # four-step pass kernels: 'planar' (separate re/im planes, twiddle-
@@ -422,7 +545,7 @@ def tune(
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(best_cfg, engine=eng),
-            audit=audit,
+            audit=audit, resume=resume,
         )
     # mult3 only changes radix >= 128 stages; challenge when one exists.
     stage_radices = []
@@ -444,7 +567,7 @@ def tune(
                 complex_mult="mult3" if best_cfg.complex_mult == "block"
                 else "block",
             ),
-            audit=audit,
+            audit=audit, resume=resume,
         )
     # kloop_width doubles how many twiddled slices pack into one stage
     # matmul (fewer MXU pipeline fills per kloop stage); only fused-path
@@ -456,34 +579,15 @@ def tune(
                 best_cfg,
                 kloop_width=256 if best_cfg.kloop_width == 128 else 128,
             ),
-            audit=audit,
+            audit=audit, resume=resume,
         )
     if incumbent_cfg is not None and best_cfg != incumbent_cfg:
-        import jax.numpy as jnp
-
-        from tensorfft_tpu.plan import Precision
-        from tensorfft_tpu.testing.timer import chain_compare
-
-        rng = np.random.default_rng(0)
-        storage = Precision(precision).storage_dtype
-        re = jnp.asarray(rng.standard_normal((batch, n)), storage)
-        im = jnp.asarray(rng.standard_normal((batch, n)), storage)
-        p_inc = create_plan(n, precision=precision,
-                            tuning=incumbent_cfg.as_tuning())
-        p_new = create_plan(n, precision=precision, tuning=best_cfg.as_tuning())
-        step_inc, div_inc = chain_step_for_plan(p_inc)
-        step_new, div_new = chain_step_for_plan(p_new)
-        r_inc, r_new = chain_compare(step_inc, step_new, (re, im))
-        t_inc = r_inc.average_time_ns / div_inc
-        t_new = r_new.average_time_ns / div_new
-        audit.append((incumbent_cfg, t_inc,
-                      r_inc.std_deviation_ns / div_inc, "incumbent-guard"))
-        audit.append((best_cfg, t_new,
-                      r_new.std_deviation_ns / div_new, "incumbent-guard"))
-        if np.isnan(t_new) or t_inc <= t_new:
-            best_cfg, best_ns = incumbent_cfg, t_inc
-        else:
-            best_ns = t_new
+        # Same decision rule as the historical inline guard: the challenger
+        # replaces the incumbent only by winning the interleaved compare.
+        best_cfg, best_ns = _twin_head_to_head(
+            n, incumbent_cfg, best_ns, batch, precision, best_cfg,
+            audit=audit, resume=resume, tag="incumbent-guard",
+        )
     entry = best_cfg.as_tuning()
     flops = 5.0 * n * float(np.log2(n)) * batch
     entry_out = dict(entry)
@@ -501,4 +605,6 @@ def tune(
     if cache is not None:
         platform = jax.devices()[0].platform
         cache.put(n, precision, platform, entry_out, batch=batch)
+    if resume is not None:
+        resume.done()
     return entry

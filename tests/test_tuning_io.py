@@ -85,6 +85,69 @@ def test_tune_challenge_only(tmp_path):
     assert raw and all("time_us" in e for e in raw)
 
 
+def test_resume_log_replay(tmp_path):
+    # The resume journal lets a killed sweep restart where it died (the
+    # TPU tunnel wedges under sustained load; a wedge must cost one data
+    # point, not the sweep).  Journaled configs replay from disk.
+    from tensorfft_tpu.tuning.tuner import (
+        ResumeLog,
+        RunConfig,
+        _cfg_key,
+        run_bench_over_search_space,
+    )
+
+    path = tmp_path / "resume.jsonl"
+    log = ResumeLog(path)
+    cfg = RunConfig(radices=(16, 16), strategy="fused")
+    log.put(_cfg_key(cfg), t_ns=1234.0, s_ns=5.0)
+    # Fresh instance reloads the journal; the replayed config is NOT
+    # re-measured (its journaled sentinel time comes back verbatim).
+    log2 = ResumeLog(path)
+    res = run_bench_over_search_space(
+        256, [cfg], batch=8, precision="float32",
+        measure_kwargs=dict(iters_low=1, iters_high=2, reps=1),
+        resume=log2)
+    assert res[0][1] == 1234.0
+    # A second, un-journaled config does get measured and journaled.
+    cfg2 = RunConfig(radices=(256,), strategy="fused")
+    res = run_bench_over_search_space(
+        256, [cfg2], batch=8, precision="float32",
+        measure_kwargs=dict(iters_low=1, iters_high=2, reps=1),
+        resume=log2)
+    assert np.isfinite(res[0][1]) and res[0][1] != 1234.0
+    assert ResumeLog(path).get(_cfg_key(cfg2)) is not None
+    log2.done()
+    assert not path.exists()
+
+
+def test_resume_log_stale_stamp(tmp_path):
+    # A journal written by different kernel code must be discarded, not
+    # replayed (stale measurements would poison the retune).
+    import json as _json
+
+    from tensorfft_tpu.tuning.tuner import ResumeLog
+
+    path = tmp_path / "resume.jsonl"
+    with open(path, "w") as f:
+        f.write(_json.dumps({"kind": "meta", "stamp": "deadbeef"}) + "\n")
+        f.write(_json.dumps({"kind": "row", "key": "k", "t_ns": 1.0,
+                             "s_ns": 0.0}) + "\n")
+    log = ResumeLog(path)
+    assert log.get("k") is None
+
+
+def test_tune_resume_path(tmp_path):
+    # End-to-end: tune() with resume_path journals measurements and removes
+    # the journal on success.
+    cache = TunerCache(tmp_path / "cache.json")
+    rp = tmp_path / "tune_resume.jsonl"
+    entry = tune(256, batch=8, precision="float32", cache=cache,
+                 measure_kwargs=dict(iters_low=1, iters_high=2, reps=1),
+                 resume_path=rp)
+    assert "strategy" in entry
+    assert not rp.exists()
+
+
 def test_result_file_roundtrip(tmp_path):
     re = np.linspace(0, 1, 8)
     im = np.linspace(1, 2, 8)
