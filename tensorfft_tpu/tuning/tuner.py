@@ -53,6 +53,7 @@ class RunConfig:
     complex_mult: str = "block"
     kloop_width: int = 128
     engine: str = "stacked"
+    max_fused_length: Optional[int] = None
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -74,6 +75,8 @@ class RunConfig:
             t["kloop_width"] = self.kloop_width
         if self.engine != "stacked":
             t["engine"] = self.engine
+        if self.max_fused_length is not None:
+            t["max_fused_length"] = self.max_fused_length
         return t
 
 
@@ -206,6 +209,22 @@ def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -
             "four_step_split": splits,
             "lane_tile": [128],
         }
+        # Single-pass fused challengers just past the default fused cap:
+        # two HBM passes bound four-step at ~2 TFLOP/s on v5e (copy floor
+        # 408 us per 16.7M-point pass), so the only way above that bound at
+        # mid-N is one pass.  The fused working set at n=32768 is 2*n*128
+        # lanes * 4 B = 33.5 MiB fp32 (16.8 bf16) — inside the 100 MiB
+        # scoped-VMEM setting; 65536 needs bf16 state.  Kept out of the
+        # cartesian product (strategy axis stays four_step) and appended as
+        # explicit extra configs in get_run_configs.
+        if n <= 4 * max_fused_length:
+            space["fused_bign"] = {
+                "radices": _radix_candidates(n)[:3],
+                "max_fused_length": n,
+                "state_dtypes": (["float32", "bfloat16"]
+                                 if n <= 2 * max_fused_length
+                                 else ["bfloat16"]),
+            }
     return space
 
 
@@ -253,6 +272,15 @@ def get_run_configs(space: dict) -> List[RunConfig]:
                                   col_radices=desc1, row_radices=desc2,
                                   grouped=True)
                     )
+    bign = space.get("fused_bign")
+    if bign:
+        for radices in bign["radices"]:
+            for sd in bign["state_dtypes"]:
+                configs.append(
+                    RunConfig(radices=radices, strategy="fused",
+                              max_fused_length=bign["max_fused_length"],
+                              state_dtype=sd)
+                )
     return configs
 
 
@@ -386,6 +414,8 @@ def _config_from_entry(entry: dict) -> RunConfig:
         complex_mult=str(entry.get("complex_mult", "block")),
         kloop_width=int(entry.get("kloop_width", 128)),
         engine=str(entry.get("engine", "stacked")),
+        max_fused_length=(int(entry["max_fused_length"])
+                          if entry.get("max_fused_length") else None),
     )
 
 

@@ -34,6 +34,36 @@ def test_search_space_large_n():
     )
 
 
+def test_search_space_mid_n_fused_challengers(tmp_path):
+    # Two HBM passes bound four-step throughput; just past the fused cap the
+    # sweep must also try single-pass fused plans (max_fused_length raised
+    # to n).  The winning config round-trips through the cache into a plan.
+    space = get_search_space(32768)
+    cfgs = get_run_configs(space)
+    fused = [c for c in cfgs if c.strategy == "fused"]
+    assert fused and all(c.max_fused_length == 32768 for c in fused)
+    assert any(c.state_dtype == "bfloat16" for c in fused)
+    assert all(c.strategy == "four_step" for c in cfgs if c not in fused)
+    # 65536 only gets bf16-state fused challengers (fp32 state won't fit);
+    # far past the cap (>4x) there are none.
+    f65 = [c for c in get_run_configs(get_search_space(65536))
+           if c.strategy == "fused"]
+    assert f65 and all(c.state_dtype == "bfloat16" for c in f65)
+    assert not [c for c in get_run_configs(get_search_space(1 << 20))
+                if c.strategy == "fused"]
+    # Cache round-trip keeps the raised cap and the plan honors it.
+    cache = TunerCache(tmp_path / "cache.json")
+    cache.put(32768, "bfloat16", "cpu", fused[0].as_tuning())
+    got = TunerCache.get(cache, 32768, "bfloat16", "cpu")
+    plan = tfft.create_plan(32768, tuning=got)
+    from tensorfft_tpu.plan import Strategy
+
+    assert plan.resolve_strategy() is Strategy.FUSED
+    from tensorfft_tpu.tuning.tuner import _config_from_entry
+
+    assert _config_from_entry(got).max_fused_length == 32768
+
+
 def test_cache_roundtrip(tmp_path):
     cache = TunerCache(tmp_path / "cache.json")
     cache.put(4096, "bfloat16", "cpu",
