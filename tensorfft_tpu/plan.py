@@ -507,12 +507,15 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
         device = jax.devices()[0]
     platform = getattr(device, "platform", "cpu")
 
-    # Fused working set: (n, lane_tile) fp32 RE+IM, double-buffered.
+    # Fused working set: (n, lane_tile) RE+IM in the in-VMEM state dtype,
+    # double-buffered.  bf16 state halves it — what makes single-pass fused
+    # plans feasible at 32768/65536 (tuner's mid-N fused challengers).
     n_fused = plan.fft_length
     if plan.four_step_split is not None:
         n_fused = max(plan.four_step_split)
     n_fused = min(n_fused, plan.max_fused_length)
-    working_set = n_fused * plan.lane_tile * 4 * 2 * 2
+    state_bytes = 2 if plan.state_dtype == "bfloat16" else 4
+    working_set = n_fused * plan.lane_tile * state_bytes * 2 * 2
     vmem_budget = device_spec(device).vmem_bytes - 2 * 1024 * 1024
     if working_set > vmem_budget:
         return (
