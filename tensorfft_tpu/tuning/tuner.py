@@ -104,6 +104,7 @@ class ResumeLog:
     def __init__(self, path):
         self.path = str(path)
         self._rows = {}
+        self._attempts = {}
         stamp = _code_stamp()
         if os.path.exists(self.path):
             keep = []
@@ -123,7 +124,11 @@ class ResumeLog:
                 os.unlink(self.path)
             else:
                 for row in keep:
-                    self._rows[row["key"]] = row
+                    if row.get("kind") == "attempt":
+                        self._attempts[row["key"]] = (
+                            self._attempts.get(row["key"], 0) + 1)
+                    else:
+                        self._rows[row["key"]] = row
         if not os.path.exists(self.path):
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             with open(self.path, "w") as f:
@@ -137,6 +142,25 @@ class ResumeLog:
         self._rows[key] = row
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
+
+    # --- poison detection -------------------------------------------------
+    # A config whose compile STALLS (Mosaic hangs rather than raising — the
+    # known lane_tile=256 / VMEM-overbudget failure mode) kills the process,
+    # so no result row is ever journaled and every resumed attempt would
+    # stall at the same config forever.  mark_attempt() journals intent
+    # BEFORE measuring; dangling_attempts() counts prior attempts that never
+    # produced a result.  Callers skip a config after 2 dangling attempts
+    # (one dangling attempt could be an innocent tunnel wedge).
+
+    def mark_attempt(self, key: str):
+        self._attempts[key] = self._attempts.get(key, 0) + 1
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"kind": "attempt", "key": key}) + "\n")
+
+    def dangling_attempts(self, key: str) -> int:
+        if key in self._rows:
+            return 0
+        return self._attempts.get(key, 0)
 
     def done(self):
         try:
@@ -362,6 +386,8 @@ def run_bench_over_search_space(
     storage = Precision(precision).storage_dtype
     re = jnp.asarray(rng.standard_normal((batch, n)), storage)
     im = jnp.asarray(rng.standard_normal((batch, n)), storage)
+    from tensorfft_tpu.plan import plan_works_on_device
+
     results = []
     for cfg in configs:
         key = _cfg_key(cfg)
@@ -370,6 +396,28 @@ def run_bench_over_search_space(
             if row is not None:
                 results.append((cfg, row["t_ns"], row["s_ns"]))
                 continue
+            if resume.dangling_attempts(key) >= 2:
+                # this config killed two prior attempts (Mosaic stall /
+                # repeated wedge) — poison, never measure it again
+                results.append((cfg, float("inf"), 0.0))
+                resume.put(key, t_ns=None, s_ns=0.0, poisoned=True)
+                continue
+        try:
+            # device pre-check (the reference skips PlanWorksOnDevice
+            # failures): VMEM-overbudget fused configs STALL Mosaic rather
+            # than raising, so they must never reach compilation.
+            probe_plan = create_plan(n, precision=precision,
+                                     tuning=cfg.as_tuning())
+            ok, _why = plan_works_on_device(probe_plan)
+            if not ok:
+                raise ValueError(_why)
+        except Exception:
+            results.append((cfg, float("inf"), 0.0))
+            if resume is not None:
+                resume.put(key, t_ns=None, s_ns=0.0)
+            continue
+        if resume is not None:
+            resume.mark_attempt(key)
         try:
             plan = create_plan(n, precision=precision, tuning=cfg.as_tuning())
             fn, divisor = chain_step_for_plan(plan)
@@ -434,6 +482,8 @@ def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt,
     from tensorfft_tpu.testing.timer import chain_compare
 
     key = f"{tag}:{_cfg_key(best_cfg)}|{_cfg_key(alt)}"
+    if resume is not None and resume.dangling_attempts(key) >= 2:
+        return best_cfg, best_ns  # this pairing stalls — keep the incumbent
     row = resume.get(key) if resume is not None else None
     if row is not None:
         t_a, t_b = row["t_a"], row["t_b"]
@@ -447,15 +497,22 @@ def _twin_head_to_head(n, best_cfg, best_ns, batch, precision, alt,
         if not np.isnan(t_a):
             return best_cfg, t_a
         return best_cfg, best_ns
+    from tensorfft_tpu.plan import plan_works_on_device
+
     try:
         p_a = create_plan(n, precision=precision, tuning=best_cfg.as_tuning())
         p_b = create_plan(n, precision=precision, tuning=alt.as_tuning())
+        ok, _why = plan_works_on_device(p_b)
+        if not ok:  # challenger would stall Mosaic — keep the incumbent
+            return best_cfg, best_ns
     except Exception:
         return best_cfg, best_ns
     rng = np.random.default_rng(0)
     storage = Precision(precision).storage_dtype
     re = jnp.asarray(rng.standard_normal((batch, n)), storage)
     im = jnp.asarray(rng.standard_normal((batch, n)), storage)
+    if resume is not None:
+        resume.mark_attempt(key)
     try:
         step_a, div_a = chain_step_for_plan(p_a)
         step_b, div_b = chain_step_for_plan(p_b)

@@ -150,6 +150,56 @@ def test_resume_log_replay(tmp_path):
     assert not path.exists()
 
 
+def test_resume_log_poison_detection(tmp_path):
+    # A config that STALLS compilation (Mosaic hangs, process killed) never
+    # journals a result; after two dangling attempt markers it must be
+    # skipped as poison, not retried forever.
+    from tensorfft_tpu.tuning.tuner import (
+        ResumeLog,
+        RunConfig,
+        _cfg_key,
+        run_bench_over_search_space,
+    )
+
+    path = tmp_path / "resume.jsonl"
+    cfg = RunConfig(radices=(16, 16), strategy="fused")
+    key = _cfg_key(cfg)
+    log = ResumeLog(path)
+    log.mark_attempt(key)
+    assert log.dangling_attempts(key) == 1
+    log.mark_attempt(key)
+    # Reload (as a fresh retry process would) and sweep: the poisoned config
+    # comes back inf without being measured, and is journaled as poisoned so
+    # later loads replay instantly.
+    log2 = ResumeLog(path)
+    assert log2.dangling_attempts(key) == 2
+    res = run_bench_over_search_space(
+        256, [cfg], batch=8, precision="float32", resume=log2)
+    assert res[0][1] == float("inf")
+    assert ResumeLog(path).get(key).get("poisoned") is True
+    # A recorded result clears dangling status.
+    cfg2 = RunConfig(radices=(256,), strategy="fused")
+    k2 = _cfg_key(cfg2)
+    log2.mark_attempt(k2)
+    log2.put(k2, t_ns=1.0, s_ns=0.0)
+    assert ResumeLog(path).dangling_attempts(k2) == 0
+
+
+def test_sweep_prefilters_undeployable_plans(tmp_path):
+    # VMEM-overbudget fused configs stall Mosaic rather than raising; the
+    # sweep must reject them via plan_works_on_device before compilation.
+    # On the CPU spec (128 MiB budget) an fp32-state fused plan of length
+    # 2^17 needs 134 MB — over budget.
+    from tensorfft_tpu.plan import optimal_radices
+    from tensorfft_tpu.tuning.tuner import RunConfig, run_bench_over_search_space
+
+    cfg = RunConfig(radices=optimal_radices(1 << 17), strategy="fused",
+                    max_fused_length=1 << 17)
+    res = run_bench_over_search_space(1 << 17, [cfg], batch=1,
+                                      precision="float32")
+    assert res[0][1] == float("inf")
+
+
 def test_resume_log_stale_stamp(tmp_path):
     # A journal written by different kernel code must be discarded, not
     # replayed (stale measurements would poison the retune).
