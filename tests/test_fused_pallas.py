@@ -131,6 +131,30 @@ def test_grouped_tuning_through_public_api():
     assert np.abs(got - want).max() < 1e-5
 
 
+def test_mid_n_single_pass_fused_through_public_api():
+    """A mid-N tuner winner with max_fused_length raised to n (the single-
+    pass plan that beats the two-HBM-pass four-step bound) must run fused
+    and match the oracle through create_plan -> fft_split."""
+    import numpy as np
+    import tensorfft_tpu as tfft
+    from tensorfft_tpu.plan import Strategy, optimal_radices
+
+    n, batch = 32768, 2
+    tuning = {"strategy": "fused", "radices": optimal_radices(n),
+              "max_fused_length": n, "state_dtype": "bfloat16"}
+    plan = tfft.create_plan(n, precision="float32", tuning=tuning)
+    assert plan.resolve_strategy() is Strategy.FUSED
+    rng = np.random.default_rng(33)
+    re = rng.standard_normal((batch, n)).astype(np.float32)
+    im = rng.standard_normal((batch, n)).astype(np.float32)
+    o_re, o_im = tfft.fft_split(re, im, plan)
+    want = np.fft.fft(re + 1j * im, axis=-1) / n
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    # bf16 in-VMEM state: reference-gate-grade, not fp32-grade.
+    err = np.abs(got - want)
+    assert err.mean() < 1e-3 and err.max() < 0.5
+
+
 def test_kernel_entry_typed_errors():
     # User-facing shape errors must be ValueError, not bare assert
     # (reference parity: every fallible call returns an error,
