@@ -147,6 +147,7 @@ def _fft_split_core(re, im, plan, forward):
             complex_mult=plan.complex_mult,
             first_dot=plan.first_dot,
             engine=plan.engine,
+            k1_tile=plan.k1_tile,
         )
         return (
             out_re.reshape(*batch_shape, n),

@@ -167,7 +167,7 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
     static_argnames=(
         "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
         "lane_tile", "algorithm", "interpret", "grouped", "state_dtype",
-        "complex_mult", "first_dot", "engine",
+        "complex_mult", "first_dot", "engine", "k1_tile",
     ),
 )
 def four_step_fft(
@@ -189,6 +189,7 @@ def four_step_fft(
     complex_mult: str = "block",
     first_dot: str = "default",
     engine: str = "stacked",
+    k1_tile: int = 128,
 ):
     """Large-N FFT on batch-major (B, N) planes, N = n1*n2.
 
@@ -208,7 +209,9 @@ def four_step_fft(
     t = min(lane_tile, n2)
     if n2 % t != 0:
         raise ValueError(f"n2={n2} not divisible by lane tile {t}")
-    k1_tile = min(128, n1)
+    # k1_tile is the K2 pass's lane-panel width (plan knob; effective tile is
+    # clamped to n1).  Power-of-two values always divide the power-of-two n1.
+    k1_tile = min(k1_tile, n1)
     if n1 % k1_tile != 0:
         raise ValueError(f"n1={n1} not divisible by k1 tile {k1_tile}")
     if min(t, k1_tile) < 128:

@@ -284,6 +284,15 @@ class FFTPlan:
     # fft_length <= 1024 under the bfloat16 policy (round-2 verdict item 5:
     # the N=256 gate margin was 14%).  Non-bf16 policies ignore it.
     first_dot: str = "default"
+    # Sublane tile of the four-step K2 (row) pass: how many n1-columns each
+    # program transposes and transforms per block (ops/four_step_pallas
+    # _row_kernel's lane width after the in-VMEM transpose).  The effective
+    # tile is min(k1_tile, n1).  256 halves the K2 grid and doubles the lane
+    # panels feeding the stage matmuls — viable since the blocked-P streaming
+    # fix freed K-pass VMEM (round-2 verdict item 2's untried lever); the
+    # reference analog is warps-per-block on the radix kernels
+    # (Plan.h:117-149).  Four-step plans only; tuner knob.
+    k1_tile: int = 128
 
     def __post_init__(self):
         if not is_power_of_2(self.fft_length):
@@ -311,6 +320,10 @@ class FFTPlan:
             raise ValueError(f"bad engine {self.engine!r}")
         if self.first_dot not in ("default", "bf16ax2"):
             raise ValueError(f"bad first_dot {self.first_dot!r}")
+        if self.k1_tile < 128 or not is_power_of_2(self.k1_tile):
+            raise ValueError(
+                f"k1_tile must be a power of 2 >= 128, got {self.k1_tile}"
+            )
         if self.four_step_split is not None:
             n1, n2 = self.four_step_split
             if n1 * n2 != self.fft_length:
@@ -428,6 +441,7 @@ def create_plan(
     complex_mult = str(tuning.get("complex_mult", "block"))
     engine = str(tuning.get("engine", "stacked"))
     first_dot = str(tuning.get("first_dot", "auto"))
+    k1_tile = int(tuning.get("k1_tile", 128))
     if first_dot == "auto":
         # Small-N bf16 transforms get the compensated first stage by
         # default: measured ~40%+ extra gate headroom at N=256 for a
@@ -487,6 +501,7 @@ def create_plan(
         complex_mult=complex_mult,
         engine=engine,
         first_dot=first_dot,
+        k1_tile=k1_tile,
     )
 
 
@@ -524,6 +539,20 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
             f"{vmem_budget} B on {platform}; lower lane_tile or "
             f"max_fused_length",
         )
+    if plan.four_step_split is not None:
+        # K2 (row) pass block at bt2 = 1: (k1, n2) in + (n2, k1) out, re+im
+        # in the storage dtype, double-buffered, plus the re/im state planes.
+        n1, n2 = plan.four_step_split
+        k1 = min(plan.k1_tile, n1)
+        storage_bytes = 2 if plan.precision is Precision.BFLOAT16 else 4
+        k2_set = k1 * n2 * (2 * 2 * 2 * storage_bytes + 2 * state_bytes)
+        if k2_set > vmem_budget:
+            return (
+                False,
+                f"four-step K2 block {k2_set} B exceeds VMEM budget "
+                f"{vmem_budget} B on {platform}; lower k1_tile or rebalance "
+                f"the split",
+            )
     if plan.precision is Precision.FLOAT64 and platform == "tpu":
         return (False, "float64 plans are CPU/oracle-only")
     return (True, "ok")

@@ -54,6 +54,7 @@ class RunConfig:
     kloop_width: int = 128
     engine: str = "stacked"
     max_fused_length: Optional[int] = None
+    k1_tile: int = 128
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -77,6 +78,8 @@ class RunConfig:
             t["engine"] = self.engine
         if self.max_fused_length is not None:
             t["max_fused_length"] = self.max_fused_length
+        if self.k1_tile != 128:
+            t["k1_tile"] = self.k1_tile
         return t
 
 
@@ -352,6 +355,8 @@ def chain_step_for_plan(plan, forward: bool = True):
                if plan.engine != "stacked" else {}),
             **({"first_dot": plan.first_dot}
                if plan.first_dot != "default" else {}),
+            **({"k1_tile": plan.k1_tile}
+               if plan.k1_tile != 128 else {}),
         },
     )
 
@@ -464,6 +469,7 @@ def _config_from_entry(entry: dict) -> RunConfig:
         engine=str(entry.get("engine", "stacked")),
         max_fused_length=(int(entry["max_fused_length"])
                           if entry.get("max_fused_length") else None),
+        k1_tile=int(entry.get("k1_tile", 128)),
     )
 
 
@@ -665,6 +671,27 @@ def tune(
             dataclasses.replace(
                 best_cfg,
                 kloop_width=256 if best_cfg.kloop_width == 128 else 128,
+            ),
+            audit=audit, resume=resume,
+        )
+    # k1_tile widens the K2 row pass's lane panels (halves its grid and
+    # doubles the panels feeding the stage matmuls — round-2 verdict item 2's
+    # untried lever, viable since blocked-P streaming freed K-pass VMEM).
+    # Only four-step plans consume it, and the twin is a no-op unless n1
+    # exceeds the default 128 tile.
+    split = best_cfg.four_step_split
+    if split is None and best_cfg.strategy in ("auto", "four_step"):
+        try:
+            split = create_plan(
+                n, precision=precision, tuning=best_cfg.as_tuning()
+            ).four_step_split
+        except Exception:
+            split = None
+    if split is not None and split[0] >= 256:
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(
+                best_cfg, k1_tile=256 if best_cfg.k1_tile == 128 else 128,
             ),
             audit=audit, resume=resume,
         )

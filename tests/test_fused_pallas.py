@@ -230,11 +230,17 @@ def test_four_step_pass_radices_tuning_through_public_api():
         # fallback guard (Mosaic cannot shape-cast narrow bf16 vectors).
         {"strategy": "four_step", "four_step_split": (64, 1024),
          "state_dtype": "bfloat16"},
+        # Wide K2 lane panels (k1_tile=256 halves the row-pass grid) — the
+        # tuner's four-step twin challenge.
+        {"strategy": "four_step", "four_step_split": (256, 256),
+         "k1_tile": 256},
     ):
         plan = tfft.create_plan(n, precision="float32", tuning=tuning)
         if "col_radices" in tuning:
             assert plan.col_radices == tuning["col_radices"]
             assert plan.row_radices == tuning["row_radices"]
+        if "k1_tile" in tuning:
+            assert plan.k1_tile == tuning["k1_tile"]
         o_re, o_im = tfft.fft_split(re, im, plan)
         got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
         assert np.abs(got - want).max() < 1e-4, tuning
@@ -255,6 +261,13 @@ def test_tuner_four_step_search_includes_pass_radix_variants():
     entry = {k: list(v) if isinstance(v, tuple) else v
              for k, v in c.as_tuning().items()}
     assert _config_from_entry(entry) == c
+    # k1_tile (the K2 lane-panel twin) must survive the same round trip.
+    import dataclasses as _dc
+    c2 = _dc.replace(c, k1_tile=256)
+    entry2 = {k: list(v) if isinstance(v, tuple) else v
+              for k, v in c2.as_tuning().items()}
+    assert entry2["k1_tile"] == 256
+    assert _config_from_entry(entry2) == c2
 
 
 def test_mult3_matches_block_and_oracle():
