@@ -87,6 +87,27 @@ def test_plan_works_on_device_cpu():
     assert ok, reason
 
 
+def test_plan_works_on_device_k2_budget():
+    # Wide K2 panels scale the row pass's VMEM block linearly: k1_tile=256 at
+    # n2=32768 must be rejected before it can stall Mosaic, while the default
+    # 128 tile of the same split stays in budget (CPU spec: 126 MiB).
+    wide = create_plan(
+        1 << 27,
+        tuning={"strategy": "four_step", "four_step_split": (4096, 32768),
+                "k1_tile": 256},
+    )
+    ok, reason = plan_works_on_device(wide)
+    assert not ok and "K2 block" in reason, reason
+    narrow = create_plan(
+        1 << 27,
+        tuning={"strategy": "four_step", "four_step_split": (4096, 32768)},
+    )
+    ok, reason = plan_works_on_device(narrow)
+    assert ok, reason
+    with pytest.raises(ValueError):
+        create_plan(4096, tuning={"k1_tile": 96})
+
+
 def test_plan_validation():
     with pytest.raises(ValueError):
         FFTPlan(fft_length=4096, radices=(16, 16))  # product mismatch
