@@ -94,7 +94,6 @@ def _fft_transform_major(re, im, plan: FFTPlan, forward: bool):
     sign = dft.FORWARD if forward else dft.INVERSE
     strategy = plan.resolve_strategy()
     engine = _block_engine(plan)
-    storage = plan.precision.storage_dtype
 
     if strategy in (Strategy.FUSED, Strategy.STAGED):
         scales = stage_scales(plan.radices, plan.scaling, forward)
