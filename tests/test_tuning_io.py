@@ -115,6 +115,39 @@ def test_tune_challenge_only(tmp_path):
     assert raw and all("time_us" in e for e in raw)
 
 
+def test_tune_challenges_k1_tile_for_four_step(tmp_path, monkeypatch):
+    # Four-step winners must be offered the k1_tile=256 twin (K2 lane-panel
+    # width); fused winners must not (the knob is a no-op there).  Stub the
+    # measurement layer so this asserts the challenge schedule, not timings.
+    import tensorfft_tpu.tuning.tuner as T
+
+    offered = []
+
+    def fake_h2h(n, best_cfg, best_ns, batch, precision, alt, **kw):
+        offered.append(alt)
+        return best_cfg, best_ns
+
+    monkeypatch.setattr(T, "_twin_head_to_head", fake_h2h)
+    monkeypatch.setattr(
+        T, "run_bench_over_search_space",
+        lambda n, configs, **kw: [(configs[0], 1.0, 0.0)],
+    )
+    cache = TunerCache(tmp_path / "cache.json")
+    cache.put(1 << 20, "bfloat16", "cpu",
+              {"strategy": "four_step", "four_step_split": [1024, 1024]},
+              batch=16)
+    T.tune(1 << 20, batch=16, precision="bfloat16", cache=cache,
+           challenge_only=True)
+    assert any(a.k1_tile == 256 for a in offered)
+
+    offered.clear()
+    cache.put(4096, "bfloat16", "cpu",
+              {"strategy": "fused", "radices": [64, 64]}, batch=64)
+    T.tune(4096, batch=64, precision="bfloat16", cache=cache,
+           challenge_only=True)
+    assert all(a.k1_tile == 128 for a in offered)
+
+
 def test_resume_log_replay(tmp_path):
     # The resume journal lets a killed sweep restart where it died (the
     # TPU tunnel wedges under sustained load; a wedge must cost one data
