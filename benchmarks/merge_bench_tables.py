@@ -1,11 +1,16 @@
-"""Merge per-length bench tables into one sweep table.
+"""Merge per-length result tables (bench or accuracy) into one sweep table.
 
-The relay wedges under sustained load, so the round-3 bench sweep runs ONE
-length per process (campaign pattern) into ``/tmp/bench_parts/bench_<N>.dat``;
-this merges the parts' JSON sidecars back into a single BenchResults.dat
-analog (sorted by fft_length, later parts win duplicate lengths).
+The relay wedges under sustained load, so round-3 sweeps run ONE length per
+process (campaign pattern) into part files; this merges the parts' JSON
+sidecars back into a single table (sorted by fft_length, later parts win
+duplicate lengths).  It also splices refreshed rows into a committed curve:
+pass the committed .dat first and the refreshed part(s) after it, e.g.
 
-Usage: python benchmarks/merge_bench_tables.py --out results/bench_sweep_tpu.dat /tmp/bench_parts/*.dat
+  python benchmarks/merge_bench_tables.py --kind bench \
+      --out results/bench_sweep_tpu.dat /tmp/bench_parts/*.dat
+  python benchmarks/merge_bench_tables.py --kind accuracy \
+      --out results/accuracy_vs_n_bf16_tpu.dat \
+      results/accuracy_vs_n_bf16_tpu.dat /tmp/small_n_refresh.dat
 """
 import argparse
 import json
@@ -18,11 +23,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("parts", nargs="+", help="part .dat files (JSON sidecars "
-                    "must sit next to them)")
+                    "must sit next to them); later files win duplicates")
+    ap.add_argument("--kind", choices=("bench", "accuracy"), default="bench")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
-    from tensorfft_tpu.testing.io import write_bench_table
+    from tensorfft_tpu.testing.io import write_accuracy_table, write_bench_table
 
     by_n = {}
     for part in args.parts:
@@ -35,7 +41,8 @@ def main():
     rows = [by_n[n] for n in sorted(by_n)]
     if not rows:
         sys.exit("no rows merged")
-    write_bench_table(args.out, rows)
+    writer = write_bench_table if args.kind == "bench" else write_accuracy_table
+    writer(args.out, rows)
     print(f"{args.out}: {len(rows)} rows "
           f"(N = {rows[0]['fft_length']}..{rows[-1]['fft_length']})")
 
