@@ -35,6 +35,7 @@ from tensorfft_tpu.ops import dots
 from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
 from tensorfft_tpu.ops.fused_pallas import (
     _interpret_default,
+    gridslice_layout,
     planar_stage_tables,
     stage_loop,
     stage_loop_planar,
@@ -160,6 +161,59 @@ def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
         else:
             out_re_ref[i] = s_re.T.astype(out_re_ref.dtype)
             out_im_ref[i] = s_im.T.astype(out_im_ref.dtype)
+
+
+def _row_kernel_gridslice(refs, scratch, radices, algorithm, n2, k1_tile, bt,
+                          s_total, slice_block, grouped, state_dtype,
+                          complex_mult, first_dot):
+    """Pass K2 with the last stage's interleave deferred to the output DMA.
+
+    The K2 row pass inherits the fused kernel's dominant in-kernel cost at
+    large n2: the last stage's S-way sublane interleave (jnp.stack, measured
+    ~615 us of the N=16384/b=4096 fused kernel — the same transform this
+    pass runs per block at n2 = 16384).  Same mechanism as the fused
+    gridslice engine (fused_pallas.gridslice_kernel_body): grid gains an
+    innermost slice dimension; step s == 0 runs the whole stage sequence
+    (emit_slices=True) and parks the S slices contiguously in scratch; every
+    step then stores C = ``slice_block`` slices as an (R, C, k1_tile) block
+    at position (0, s, ik) of the (B, R, S, n1) output, whose (r, s)
+    row-major order IS the natural k2 = r*S + s frequency order — the
+    digit-swapped placement along n1 stays absorbed in the BlockSpec exactly
+    as in the stacked row pass.
+    """
+    re_ref, im_ref = refs[0], refs[1]
+    out_re_ref, out_im_ref = refs[-2], refs[-1]
+    table_refs = refs[2:-2]
+    scr_re, scr_im = scratch
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _compute():
+        for i in range(bt):
+            state = jnp.stack([
+                re_ref[i].T.astype(state_dtype),  # (n2, k1_tile)
+                im_ref[i].T.astype(state_dtype),
+            ])
+            slices, _ = stage_loop(
+                state, table_refs, radices, algorithm, n2, k1_tile,
+                grouped=grouped, state_dtype=state_dtype,
+                complex_mult=complex_mult, first_dot=first_dot,
+                emit_slices=True,
+            )
+            for kk, sl in enumerate(slices):
+                scr_re[i, kk] = sl[0].astype(scr_re.dtype)
+                scr_im[i, kk] = sl[1].astype(scr_im.dtype)
+
+    c = slice_block
+    for i in range(bt):
+        if c == 1:
+            out_re_ref[i] = scr_re[i, s][:, None, :]
+            out_im_ref[i] = scr_im[i, s][:, None, :]
+        else:
+            out_re_ref[i] = jnp.stack(
+                [scr_re[i, s * c + j] for j in range(c)], axis=1)
+            out_im_ref[i] = jnp.stack(
+                [scr_im[i, s * c + j] for j in range(c)], axis=1)
 
 
 @functools.partial(
@@ -289,6 +343,53 @@ def four_step_fft(
     # Pass K2.
     tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped,
                            engine, first_dot=first_dot)
+    if engine.startswith("gridslice"):
+        # Deferred-interleave row pass (see _row_kernel_gridslice).  Falls
+        # back to the stacked row pass when the plan shape cannot emit whole
+        # last-stage slices (the engine string is then inert for K2, exactly
+        # as it already is for K1).
+        s_total2 = gridslice_layout(radices2, grouped)
+        slice_block = int(engine[len("gridslice"):] or 8)
+        r_last2 = radices2[-1]
+        if (s_total2 is not None and s_total2 % slice_block == 0
+                and r_last2 >= 8):
+            sd2 = jnp.dtype(state_dtype)
+            in_spec2g = pl.BlockSpec(
+                (bt2, k1_tile, n2), lambda ib, ik, s: (ib, ik, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_spec2g = pl.BlockSpec(
+                (bt2, r_last2, slice_block, k1_tile),
+                lambda ib, ik, s: (ib, 0, s, ik), memory_space=pltpu.VMEM,
+            )
+            table_specs2g = [
+                pl.BlockSpec(a.shape, lambda ib, ik, s, nd=a.ndim: (0,) * nd,
+                             memory_space=pltpu.VMEM)
+                for a in tables2
+            ]
+            kern2g = lambda *r: _row_kernel_gridslice(
+                r[:-2], r[-2:], radices2, algorithm, n2, k1_tile, bt2,
+                s_total2, slice_block, grouped, sd2, complex_mult, first_dot)
+            out_re, out_im = pl.pallas_call(
+                kern2g,
+                grid=(b // bt2, n1 // k1_tile, s_total2 // slice_block),
+                in_specs=[in_spec2g, in_spec2g] + table_specs2g,
+                out_specs=(out_spec2g, out_spec2g),
+                out_shape=(
+                    jax.ShapeDtypeStruct((b, r_last2, s_total2, n1), re.dtype),
+                    jax.ShapeDtypeStruct((b, r_last2, s_total2, n1), im.dtype),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((bt2, s_total2, r_last2, k1_tile), re.dtype),
+                    pltpu.VMEM((bt2, s_total2, r_last2, k1_tile), im.dtype),
+                ],
+                interpret=interpret,
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+                    dimension_semantics=("arbitrary",) * 3,
+                ),
+            )(mid_re, mid_im, *tables2)
+            return out_re.reshape(b, n), out_im.reshape(b, n)
     in_spec2 = pl.BlockSpec(
         (bt2, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )

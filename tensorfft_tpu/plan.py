@@ -545,7 +545,11 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
         n1, n2 = plan.four_step_split
         k1 = min(plan.k1_tile, n1)
         storage_bytes = 2 if plan.precision is Precision.BFLOAT16 else 4
-        k2_set = k1 * n2 * (2 * 2 * 2 * storage_bytes + 2 * state_bytes)
+        # in+out re+im double-buffered, plus the slice-parking scratch planes
+        # of the deferred-interleave row pass.
+        io_planes = 2 * 2 * 2 + (2 if plan.engine.startswith("gridslice")
+                                 else 0)
+        k2_set = k1 * n2 * (io_planes * storage_bytes + 2 * state_bytes)
         if k2_set > vmem_budget:
             return (
                 False,

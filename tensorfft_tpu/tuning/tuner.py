@@ -617,15 +617,33 @@ def tune(
     # broadcast multiply in-stage (round-3 breakdown), so the epilogue
     # hoist has nothing left to save (measured tie at N=16384/b=4096).
     # Challenge the winner with each engine it is not already running.
-    # 'gridslice' (fused only) defers the last stage's K-way sublane
-    # interleave to grid-blocked per-slice HBM stores; only legal when the
-    # last stage emits whole slices (fused_pallas.gridslice_layout).
-    engine_alts = ["stacked", "planar"]
-    if best_cfg.strategy == "fused":
-        from tensorfft_tpu.ops.fused_pallas import gridslice_layout
+    # 'gridslice' defers the last stage's K-way sublane interleave to
+    # grid-blocked per-slice HBM stores — on the fused kernel and on the
+    # four-step K2 row pass (whose inner n2-transform pays the same
+    # interleave per block); only legal when the last stage emits whole
+    # slices (fused_pallas.gridslice_layout).
+    split = best_cfg.four_step_split
+    if split is None and best_cfg.strategy in ("auto", "four_step"):
+        try:
+            split = create_plan(
+                n, precision=precision, tuning=best_cfg.as_tuning()
+            ).four_step_split
+        except Exception:
+            split = None
+    from tensorfft_tpu.ops.fused_pallas import gridslice_layout
 
-        rads = tuple(best_cfg.radices or optimal_radices(n))
-        s_total = gridslice_layout(rads, best_cfg.grouped)
+    engine_alts = ["stacked", "planar"]
+    gs_rads = None
+    if best_cfg.strategy == "fused":
+        gs_rads = tuple(best_cfg.radices or optimal_radices(n))
+    elif split is not None:
+        # K2 scratch blocks are (R_last, k1_tile)-tiled, so the row pass
+        # additionally needs a sublane-multiple last radix.
+        rads2 = tuple(best_cfg.row_radices or optimal_radices(split[1]))
+        if rads2[-1] >= 8:
+            gs_rads = rads2
+    if gs_rads is not None:
+        s_total = gridslice_layout(gs_rads, best_cfg.grouped)
         if s_total is not None:
             engine_alts.append("gridslice")
             if s_total % 16 == 0:
@@ -678,15 +696,7 @@ def tune(
     # doubles the panels feeding the stage matmuls — round-2 verdict item 2's
     # untried lever, viable since blocked-P streaming freed K-pass VMEM).
     # Only four-step plans consume it, and the twin is a no-op unless n1
-    # exceeds the default 128 tile.
-    split = best_cfg.four_step_split
-    if split is None and best_cfg.strategy in ("auto", "four_step"):
-        try:
-            split = create_plan(
-                n, precision=precision, tuning=best_cfg.as_tuning()
-            ).four_step_split
-        except Exception:
-            split = None
+    # exceeds the default 128 tile.  (``split`` resolved above.)
     if split is not None and split[0] >= 256:
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,

@@ -270,6 +270,45 @@ def test_tuner_four_step_search_includes_pass_radix_variants():
     assert _config_from_entry(entry2) == c2
 
 
+def test_four_step_gridslice_bit_identical_and_oracle():
+    """engine='gridslice'/'gridslice16' on four-step plans defers the K2 row
+    pass's last-stage interleave to the output DMA (the same mechanism as the
+    fused gridslice engine).  Must be BIT-identical to the stacked row pass
+    (same math, different store path) and gate-grade vs the fp64 oracle —
+    including the fallback when the row radices cannot emit whole slices."""
+    import numpy as np
+
+    import tensorfft_tpu as tfft
+
+    rng = np.random.default_rng(13)
+    n = 1 << 16
+    re = rng.standard_normal((2, n)).astype(np.float32)
+    im = rng.standard_normal((2, n)).astype(np.float32)
+    want = np.fft.fft(re + 1j * im, axis=-1) / n
+
+    for split, extra in [
+        ((128, 512), {}),                                    # real gridslice
+        ((64, 1024), {"state_dtype": "bfloat16"}),           # narrow-k1 path
+        ((128, 512), {"row_radices": (128, 4)}),             # fallback (R<8)
+        ((256, 256), {"k1_tile": 256}),                      # single-stage row
+    ]:
+        outs = {}
+        for eng in ("stacked", "gridslice", "gridslice16"):
+            plan = tfft.create_plan(
+                n, precision="float32",
+                tuning={"strategy": "four_step", "four_step_split": split,
+                        "engine": eng, **extra},
+            )
+            o_re, o_im = tfft.fft_split(re, im, plan)
+            outs[eng] = (np.asarray(o_re), np.asarray(o_im))
+        got = (outs["gridslice"][0].astype(np.float64)
+               + 1j * outs["gridslice"][1].astype(np.float64))
+        assert np.abs(got - want).max() < 1e-4, (split, extra)
+        for eng in ("gridslice", "gridslice16"):
+            assert np.array_equal(outs[eng][0], outs["stacked"][0]), (split, extra, eng)
+            assert np.array_equal(outs[eng][1], outs["stacked"][1]), (split, extra, eng)
+
+
 def test_mult3_matches_block_and_oracle():
     """complex_mult='mult3' (3 real matmuls per radix>=128 stage) must stay
     gate-grade vs the fp64 oracle across stage kinds: 'first' + 'kloop'

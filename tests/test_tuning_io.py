@@ -139,6 +139,9 @@ def test_tune_challenges_k1_tile_for_four_step(tmp_path, monkeypatch):
     T.tune(1 << 20, batch=16, precision="bfloat16", cache=cache,
            challenge_only=True)
     assert any(a.k1_tile == 256 for a in offered)
+    # The K2 deferred-interleave engine must also be challenged on four-step
+    # winners (optimal_radices(1024) ends in a sublane-multiple radix).
+    assert any(a.engine == "gridslice" for a in offered)
 
     offered.clear()
     cache.put(4096, "bfloat16", "cpu",
