@@ -132,6 +132,76 @@ def _col_kernel(refs, radices, algorithm, n1, t, bt, twiddle=True,
         out_im_ref[i] = o_im.astype(out_im_ref.dtype)
 
 
+def _col_kernel_gridslice(refs, scratch, radices, algorithm, n1, t, bt,
+                          s_total, slice_block, grouped, state_dtype,
+                          complex_mult, first_dot):
+    """Pass K1 with the last stage's interleave deferred to the output DMA.
+
+    Same mechanism as _row_kernel_gridslice, for the column pass (matters
+    for the n1 = 8192/16384 splits of N = 2^25..2^27, where K1 runs the
+    largest in-VMEM transforms of the whole sweep).  Differences from the
+    stacked column kernel:
+
+      * data refs are FOUR-dimensional (bt, R, S, t) views of the same
+        (b, n1, n2) planes (a free reshape host-side) so the output — whose
+        (r, s) slice-major blocks land at natural k1 = r*S + s — has the
+        SAME array shape as the input and input_output_aliasing survives
+        (measured worth ~50% on the fused kernel);
+      * P/Q arrive permuted to slice-major row order (position a = s*R + r
+        holds phase k1 = r*S + s), so the four-step twiddle stays ONE
+        broadcast multiply on the un-interleaved stack of last-stage slices
+        (per-slice 2D multiplies measured ~420 us slower on the fused
+        kernel, round-3 stage breakdown);
+      * last-stage slices are block-concatenated (jnp.stack axis=1 — a
+        contiguous leading-dim concat, not the r*S+s sublane shuffle) and
+        parked in scratch; each grid step stores C slices to their
+        (R, C, t) output block.
+    """
+    re_ref, im_ref = refs[0], refs[1]
+    p_ref, q_ref = refs[2], refs[3]  # slice-major permuted (see caller)
+    table_refs = refs[4:-2]
+    out_re_ref, out_im_ref = refs[-2], refs[-1]
+    scr_re, scr_im = scratch
+    r_last = radices[-1]
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _compute():
+        p_t = p_ref[0].T  # (n1, 2)
+        p_re = p_t[:, 0:1]
+        p_im = p_t[:, 1:2]
+        w_re = p_re * q_ref[0] - p_im * q_ref[1]  # (n1, t), slice-major rows
+        w_im = p_re * q_ref[1] + p_im * q_ref[0]
+        for i in range(bt):
+            state = jnp.stack([
+                re_ref[i].reshape(n1, t).astype(state_dtype),
+                im_ref[i].reshape(n1, t).astype(state_dtype),
+            ])
+            slices, _ = stage_loop(
+                state, table_refs, radices, algorithm, n1, t,
+                grouped=grouped, state_dtype=state_dtype,
+                complex_mult=complex_mult, first_dot=first_dot,
+                emit_slices=True,
+            )
+            sm = jnp.stack(slices, axis=1)  # (2, S, R, t): block concat
+            sm = sm.reshape(2, n1, t).astype(jnp.float32)
+            o_re = sm[0] * w_re - sm[1] * w_im
+            o_im = sm[0] * w_im + sm[1] * w_re
+            scr_re[i] = o_re.reshape(s_total, r_last, t).astype(scr_re.dtype)
+            scr_im[i] = o_im.reshape(s_total, r_last, t).astype(scr_im.dtype)
+
+    c = slice_block
+    for i in range(bt):
+        if c == 1:
+            out_re_ref[i] = scr_re[i, s][:, None, :]
+            out_im_ref[i] = scr_im[i, s][:, None, :]
+        else:
+            out_re_ref[i] = jnp.stack(
+                [scr_re[i, s * c + j] for j in range(c)], axis=1)
+            out_im_ref[i] = jnp.stack(
+                [scr_im[i, s * c + j] for j in range(c)], axis=1)
+
+
 def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
                 grouped=False, state_dtype=jnp.float32,
                 complex_mult="block", first_dot="default",
@@ -295,50 +365,119 @@ def four_step_fft(
     p_re, p_im, q_re, q_im = dft.four_step_twiddle_factors(
         n1, n2, t, dtype=np.float32, sign=sign
     )
+    sd = jnp.dtype(state_dtype)
+    # Deferred-interleave column pass (see _col_kernel_gridslice): falls back
+    # to the stacked column pass when the plan shape cannot emit whole
+    # last-stage slices.
+    use_gs1 = False
+    if engine.startswith("gridslice"):
+        s1_total = gridslice_layout(radices1, grouped)
+        slice_block1 = int(engine[len("gridslice"):] or 8)
+        if (s1_total is not None and s1_total % slice_block1 == 0
+                and radices1[-1] >= 8):
+            use_gs1 = True
     # (blocks, 2, n1): block a's column P[:, :, a] as a lane-major slab, so
     # the kernel DMAs one 131 KB slab per grid step instead of holding the
     # whole table resident (O(n1 * n2/t) — up to 64 MiB at n1 = 16384).
-    p_tab = jnp.asarray(
-        np.stack([p_re, p_im]).transpose(2, 0, 1).copy()
-    )
-    q_tab = jnp.asarray(np.stack([q_re, q_im]))      # (2, n1, t)
+    pq = np.stack([p_re, p_im]).transpose(2, 0, 1)
+    qq = np.stack([q_re, q_im])                       # (2, n1, t)
+    if use_gs1:
+        # Slice-major phase order: position a = s*R + r carries k1 = r*S + s,
+        # so the twiddle stays one broadcast multiply on the un-interleaved
+        # slice stack.
+        r_last1 = radices1[-1]
+        perm = ((np.arange(n1) % r_last1) * s1_total
+                + np.arange(n1) // r_last1)
+        pq = pq[:, :, perm]
+        qq = qq[:, perm, :]
+    p_tab = jnp.asarray(pq.copy())
+    q_tab = jnp.asarray(qq.copy())
     tables1 = _pass_tables(radices1, scales1, sign, algorithm, grouped,
                            engine, first_dot=first_dot)
 
-    data_spec1 = pl.BlockSpec(
-        (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
-    )
-    p_spec = pl.BlockSpec(
-        (1, 2, n1), lambda ib, it: (it, 0, 0), memory_space=pltpu.VMEM
-    )
-    q_spec = pl.BlockSpec(
-        (2, n1, t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
-    )
-    table_specs1 = [
-        pl.BlockSpec(a.shape, lambda ib, it, nd=a.ndim: (0,) * nd,
-                     memory_space=pltpu.VMEM)
-        for a in tables1
-    ]
-    sd = jnp.dtype(state_dtype)
-    kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t, bt1,
-                                      grouped=grouped, state_dtype=sd,
-                                      complex_mult=complex_mult,
-                                      first_dot=first_dot, engine=engine)
-    mid_re, mid_im = pl.pallas_call(
-        kern1,
-        grid=(b // bt1, n2 // t),
-        in_specs=[data_spec1, data_spec1, p_spec, q_spec] + table_specs1,
-        out_specs=(data_spec1, data_spec1),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n1, n2), re.dtype),
-            jax.ShapeDtypeStruct((b, n1, n2), im.dtype),
-        ),
-        interpret=interpret,
-        input_output_aliases={0: 0, 1: 1},
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
-        ),
-    )(re3, im3, p_tab, q_tab, *tables1)
+    if use_gs1:
+        re4 = re3.reshape(b, r_last1, s1_total, n2)
+        im4 = im3.reshape(b, r_last1, s1_total, n2)
+        data_spec1g = pl.BlockSpec(
+            (bt1, r_last1, s1_total, t), lambda ib, it, s: (ib, 0, 0, it),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec1g = pl.BlockSpec(
+            (bt1, r_last1, slice_block1, t), lambda ib, it, s: (ib, 0, s, it),
+            memory_space=pltpu.VMEM,
+        )
+        p_spec_g = pl.BlockSpec(
+            (1, 2, n1), lambda ib, it, s: (it, 0, 0), memory_space=pltpu.VMEM
+        )
+        q_spec_g = pl.BlockSpec(
+            (2, n1, t), lambda ib, it, s: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        table_specs1g = [
+            pl.BlockSpec(a.shape, lambda ib, it, s, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in tables1
+        ]
+        kern1g = lambda *r: _col_kernel_gridslice(
+            r[:-2], r[-2:], radices1, algorithm, n1, t, bt1, s1_total,
+            slice_block1, grouped, sd, complex_mult, first_dot)
+        mid_re, mid_im = pl.pallas_call(
+            kern1g,
+            grid=(b // bt1, n2 // t, s1_total // slice_block1),
+            in_specs=[data_spec1g, data_spec1g, p_spec_g, q_spec_g]
+            + table_specs1g,
+            out_specs=(out_spec1g, out_spec1g),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, r_last1, s1_total, n2), re.dtype),
+                jax.ShapeDtypeStruct((b, r_last1, s1_total, n2), im.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bt1, s1_total, r_last1, t), re.dtype),
+                pltpu.VMEM((bt1, s1_total, r_last1, t), im.dtype),
+            ],
+            interpret=interpret,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+                dimension_semantics=("arbitrary",) * 3,
+            ),
+        )(re4, im4, p_tab, q_tab, *tables1)
+        mid_re = mid_re.reshape(b, n1, n2)
+        mid_im = mid_im.reshape(b, n1, n2)
+    else:
+        data_spec1 = pl.BlockSpec(
+            (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+        )
+        p_spec = pl.BlockSpec(
+            (1, 2, n1), lambda ib, it: (it, 0, 0), memory_space=pltpu.VMEM
+        )
+        q_spec = pl.BlockSpec(
+            (2, n1, t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        table_specs1 = [
+            pl.BlockSpec(a.shape, lambda ib, it, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in tables1
+        ]
+        kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t,
+                                          bt1, grouped=grouped,
+                                          state_dtype=sd,
+                                          complex_mult=complex_mult,
+                                          first_dot=first_dot, engine=engine)
+        mid_re, mid_im = pl.pallas_call(
+            kern1,
+            grid=(b // bt1, n2 // t),
+            in_specs=[data_spec1, data_spec1, p_spec, q_spec] + table_specs1,
+            out_specs=(data_spec1, data_spec1),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n1, n2), re.dtype),
+                jax.ShapeDtypeStruct((b, n1, n2), im.dtype),
+            ),
+            interpret=interpret,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+            ),
+        )(re3, im3, p_tab, q_tab, *tables1)
 
     # Pass K2.
     tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped,

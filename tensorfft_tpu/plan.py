@@ -531,6 +531,11 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
     n_fused = min(n_fused, plan.max_fused_length)
     state_bytes = 2 if plan.state_dtype == "bfloat16" else 4
     working_set = n_fused * plan.lane_tile * state_bytes * 2 * 2
+    if plan.engine.startswith("gridslice"):
+        # Slice-parking scratch planes (storage dtype) of the deferred-
+        # interleave engines (fused kernel and four-step column pass).
+        working_set += (n_fused * plan.lane_tile * 2
+                        * (2 if plan.precision is Precision.BFLOAT16 else 4))
     vmem_budget = device_spec(device).vmem_bytes - 2 * 1024 * 1024
     if working_set > vmem_budget:
         return (

@@ -287,10 +287,11 @@ def test_four_step_gridslice_bit_identical_and_oracle():
     want = np.fft.fft(re + 1j * im, axis=-1) / n
 
     for split, extra in [
-        ((128, 512), {}),                                    # real gridslice
+        ((128, 512), {}),                                    # K2 gridslice
         ((64, 1024), {"state_dtype": "bfloat16"}),           # narrow-k1 path
         ((128, 512), {"row_radices": (128, 4)}),             # fallback (R<8)
         ((256, 256), {"k1_tile": 256}),                      # single-stage row
+        ((1024, 64), {}),                # K1 gridslice (slice-major twiddle)
     ]:
         outs = {}
         for eng in ("stacked", "gridslice", "gridslice16"):
