@@ -37,6 +37,15 @@ from tensorfft_tpu.fft import (
     ifftn_split,
 )
 from tensorfft_tpu.rfft import rfft, irfft, rfft_split, irfft_split
+from tensorfft_tpu.spectral import (
+    fftfreq,
+    fftshift,
+    fftshift_split,
+    ifftshift,
+    ifftshift_split,
+    rfftfreq,
+    window,
+)
 
 __version__ = "0.1.0"
 
@@ -60,5 +69,12 @@ __all__ = [
     "irfft",
     "rfft_split",
     "irfft_split",
+    "fftshift",
+    "ifftshift",
+    "fftshift_split",
+    "ifftshift_split",
+    "fftfreq",
+    "rfftfreq",
+    "window",
     "__version__",
 ]
