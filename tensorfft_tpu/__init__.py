@@ -37,6 +37,12 @@ from tensorfft_tpu.fft import (
     ifftn_split,
 )
 from tensorfft_tpu.rfft import rfft, irfft, rfft_split, irfft_split
+from tensorfft_tpu.bluestein import (
+    fft_any,
+    fft_split_any,
+    ifft_any,
+    ifft_split_any,
+)
 from tensorfft_tpu.spectral import (
     fftfreq,
     fftshift,
@@ -69,6 +75,10 @@ __all__ = [
     "irfft",
     "rfft_split",
     "irfft_split",
+    "fft_any",
+    "ifft_any",
+    "fft_split_any",
+    "ifft_split_any",
     "fftshift",
     "ifftshift",
     "fftshift_split",
