@@ -36,7 +36,16 @@ from tensorfft_tpu.fft import (
     fftn_split,
     ifftn_split,
 )
-from tensorfft_tpu.rfft import rfft, irfft, rfft_split, irfft_split
+from tensorfft_tpu.rfft import (
+    irfft,
+    irfft_split,
+    irfftn,
+    irfftn_split,
+    rfft,
+    rfft_split,
+    rfftn,
+    rfftn_split,
+)
 from tensorfft_tpu.bluestein import (
     fft_any,
     fft_split_any,
@@ -75,6 +84,10 @@ __all__ = [
     "irfft",
     "rfft_split",
     "irfft_split",
+    "rfftn",
+    "irfftn",
+    "rfftn_split",
+    "irfftn_split",
     "fft_any",
     "ifft_any",
     "fft_split_any",

@@ -23,7 +23,8 @@ import numpy as np
 from tensorfft_tpu.fft import fft_split as _fft_split, ifft_split as _ifft_split
 from tensorfft_tpu.plan import FFTPlan, create_plan
 
-__all__ = ["rfft_split", "irfft_split", "rfft", "irfft"]
+__all__ = ["rfft_split", "irfft_split", "rfft", "irfft",
+           "rfftn_split", "irfftn_split", "rfftn", "irfftn"]
 
 
 def _pack_tables(n: int, sign: int):
@@ -161,6 +162,58 @@ def _inverse_pre_scale(plan: FFTPlan) -> float:
     if plan.scaling == "ortho":
         return np.sqrt(0.5)
     raise ValueError(plan.scaling)
+
+
+def rfftn_split(x, axes=None, **plan_kwargs):
+    """N-dimensional R2C: rfft along the LAST axis, C2C along the others
+    (numpy.fft.rfftn semantics on split planar output).
+
+    Returns (re, im) of shape (..., n_last/2 + 1); scaling follows the
+    library convention per axis (total 1/prod(shape[axes]) under 'forward').
+    """
+    from tensorfft_tpu.fft import fftn_split as _fftn_split
+
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(a % x.ndim for a in axes)
+    if (x.ndim - 1) not in axes:
+        raise ValueError("rfftn_split requires the last axis in axes")
+    re, im = rfft_split(x, **plan_kwargs)
+    rest = tuple(a for a in axes if a != x.ndim - 1)
+    if rest:
+        re, im = _fftn_split(re, im, axes=rest, **plan_kwargs)
+    return re, im
+
+
+def irfftn_split(re, im, axes=None, n: Optional[int] = None, **plan_kwargs):
+    """Inverse of :func:`rfftn_split`: C2C inverse along the leading axes,
+    C2R along the last."""
+    from tensorfft_tpu.fft import ifftn_split as _ifftn_split
+
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if axes is None:
+        axes = tuple(range(re.ndim))
+    axes = tuple(a % re.ndim for a in axes)
+    if (re.ndim - 1) not in axes:
+        raise ValueError("irfftn_split requires the last axis in axes")
+    rest = tuple(a for a in axes if a != re.ndim - 1)
+    if rest:
+        re, im = _ifftn_split(re, im, axes=rest, **plan_kwargs)
+    return irfft_split(re, im, n=n, **plan_kwargs)
+
+
+def rfftn(x, axes=None, **plan_kwargs):
+    """Host-boundary N-D R2C convenience wrapper (returns NumPy complex64)."""
+    o_re, o_im = rfftn_split(jnp.asarray(np.asarray(x)), axes, **plan_kwargs)
+    return np.asarray(o_re, np.float32) + 1j * np.asarray(o_im, np.float32)
+
+
+def irfftn(x, axes=None, n: Optional[int] = None, **plan_kwargs):
+    x = np.asarray(x)
+    return np.asarray(irfftn_split(x.real.copy(), x.imag.copy(), axes, n=n,
+                                   **plan_kwargs))
 
 
 def rfft(x, plan: Optional[FFTPlan] = None, **plan_kwargs):

@@ -71,3 +71,32 @@ def test_rfft_large_roundtrip_split_precision():
     back = np.asarray(irfft_split(o_re, o_im, plan), np.float64)
     rt = np.abs(back - x)
     assert rt.mean() < 1e-3, rt.mean()
+
+
+def test_rfftn_matches_numpy():
+    # N-D R2C: rfft along the last axis + C2C along the rest, the
+    # numpy.fft.rfftn contract (scaled by 1/prod(shape) under 'forward').
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((4, 8, 16)).astype(np.float32)
+    got = tfft.rfftn(x, precision="float32")
+    want = np.fft.rfftn(x) / x.size
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-4
+    back = tfft.irfftn(got, precision="float32")
+    assert np.abs(back - x).max() < 1e-3
+
+
+def test_rfftn_requires_last_axis():
+    x = np.ones((4, 8), np.float32)
+    with pytest.raises(ValueError, match="last axis"):
+        tfft.rfftn_split(x, axes=(0,))
+
+
+def test_rfftn_partial_axes():
+    # axes=(-1,): pure rfft; axes=(0, 2): transform two of three dims.
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((4, 6, 8)).astype(np.float32)
+    got = tfft.rfftn(x, axes=(0, 2), precision="float32")
+    want = np.fft.rfftn(x, axes=(0, 2)) / (4 * 8)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-4
