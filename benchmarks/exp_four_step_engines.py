@@ -16,7 +16,6 @@ Prints one JSON line per comparison; reference anchor ComputeFFT.h:89-120
 (the per-stage global-memory round trips this path amortizes away).
 """
 import argparse
-import itertools
 import json
 
 import numpy as np
@@ -49,21 +48,30 @@ def main():
                             batch_hint=b)
     if base.four_step_split is None:
         raise SystemExit(f"N={n} resolves to a fused plan; nothing to do")
+    # Reconstruct the FULL cached incumbent (engine/k1_tile/state_dtype/
+    # complex_mult included) so "incumbent_us" measures what production
+    # actually runs, not a stripped twin.
     base_tuning = {
         "strategy": "four_step",
         "four_step_split": base.four_step_split,
         "col_radices": base.col_radices,
         "row_radices": base.row_radices,
         **({"grouped": True} if base.grouped else {}),
+        **({"engine": base.engine} if base.engine != "stacked" else {}),
+        **({"k1_tile": base.k1_tile} if base.k1_tile != 128 else {}),
+        **({"state_dtype": base.state_dtype}
+           if base.state_dtype != "float32" else {}),
+        **({"complex_mult": base.complex_mult}
+           if base.complex_mult != "block" else {}),
     }
 
     variants = [
-        ("stacked", {}),
         ("gridslice", {"engine": "gridslice"}),
         ("gridslice16", {"engine": "gridslice16"}),
         ("gs16_k256", {"engine": "gridslice16", "k1_tile": 256}),
         ("gs16_bf16", {"engine": "gridslice16", "state_dtype": "bfloat16"}),
         ("k256", {"k1_tile": 256}),
+        ("stacked", {"engine": "stacked", "k1_tile": 128}),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
@@ -73,8 +81,10 @@ def main():
                                 tuning=base_tuning)
     step_inc, div_inc = chain_step_for_plan(inc_plan)
     for name, extra in variants:
-        if name == "stacked":
-            continue
+        if tfft.create_plan(
+                n, precision=args.precision,
+                tuning={**base_tuning, **extra}) == inc_plan:
+            continue  # variant identical to the incumbent — nothing to learn
         try:
             plan_v = tfft.create_plan(n, precision=args.precision,
                                       tuning={**base_tuning, **extra})

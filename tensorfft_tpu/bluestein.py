@@ -83,6 +83,13 @@ def fft_split_any(re, im, forward: bool = True, scaling: str = "forward",
     n = re.shape[-1]
     if n < 1 or re.shape != im.shape:
         raise ValueError(f"bad split input shapes {re.shape} / {im.shape}")
+    storage = _plan_mod.Precision(precision).storage_dtype
+    if n == 1:
+        # The 1-point DFT is the identity, and every convention's scale is
+        # 1^(+-1/2..1) = 1.
+        if scaling not in ("forward", "none", "ortho"):
+            raise ValueError(f"bad scaling {scaling!r}")
+        return re.astype(storage), im.astype(storage)
     if is_power_of_2(n):
         plan = _plan_mod.create_plan(n, precision=precision, scaling=scaling,
                                      **plan_kwargs)
@@ -102,8 +109,12 @@ def fft_split_any(re, im, forward: bool = True, scaling: str = "forward",
     # M-point circular convolution.  The 'none' convention is NumPy's
     # (stage_scales: forward unscaled, inverse carries 1/M), so
     # ifft_none(fft_none(y) * b_hat) IS the convolution — no extra scale.
+    # An explicit tuning= kwarg overrides the default cache consultation
+    # (note it then applies to the M-point plan, not a plan of length n).
+    m_kwargs = dict(plan_kwargs)
+    m_kwargs.setdefault("tuning", "auto")
     mplan = _plan_mod.create_plan(m, precision=precision, scaling="none",
-                                  tuning="auto", **plan_kwargs)
+                                  **m_kwargs)
     f_re, f_im = _fft_split(y_re, y_im, mplan)
     g_re, g_im = _cmul(f_re.astype(jnp.float32), f_im.astype(jnp.float32),
                        bh_re, bh_im)
@@ -125,7 +136,8 @@ def fft_split_any(re, im, forward: bool = True, scaling: str = "forward",
     if s != 1.0:
         o_re = o_re * s
         o_im = o_im * s
-    return o_re, o_im
+    # Match the pow2 delegation's output contract (storage-dtype planes).
+    return o_re.astype(storage), o_im.astype(storage)
 
 
 def ifft_split_any(re, im, scaling: str = "forward", **kw):

@@ -35,6 +35,7 @@ from tensorfft_tpu.ops import dots
 from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
 from tensorfft_tpu.ops.fused_pallas import (
     _interpret_default,
+    gridslice_block,
     gridslice_layout,
     planar_stage_tables,
     stage_loop,
@@ -190,16 +191,9 @@ def _col_kernel_gridslice(refs, scratch, radices, algorithm, n1, t, bt,
             scr_re[i] = o_re.reshape(s_total, r_last, t).astype(scr_re.dtype)
             scr_im[i] = o_im.reshape(s_total, r_last, t).astype(scr_im.dtype)
 
-    c = slice_block
     for i in range(bt):
-        if c == 1:
-            out_re_ref[i] = scr_re[i, s][:, None, :]
-            out_im_ref[i] = scr_im[i, s][:, None, :]
-        else:
-            out_re_ref[i] = jnp.stack(
-                [scr_re[i, s * c + j] for j in range(c)], axis=1)
-            out_im_ref[i] = jnp.stack(
-                [scr_im[i, s * c + j] for j in range(c)], axis=1)
+        out_re_ref[i] = gridslice_block(scr_re, s, slice_block, i)
+        out_im_ref[i] = gridslice_block(scr_im, s, slice_block, i)
 
 
 def _row_kernel(refs, radices, algorithm, n2, k1_tile, bt, transposed=True,
@@ -274,16 +268,9 @@ def _row_kernel_gridslice(refs, scratch, radices, algorithm, n2, k1_tile, bt,
                 scr_re[i, kk] = sl[0].astype(scr_re.dtype)
                 scr_im[i, kk] = sl[1].astype(scr_im.dtype)
 
-    c = slice_block
     for i in range(bt):
-        if c == 1:
-            out_re_ref[i] = scr_re[i, s][:, None, :]
-            out_im_ref[i] = scr_im[i, s][:, None, :]
-        else:
-            out_re_ref[i] = jnp.stack(
-                [scr_re[i, s * c + j] for j in range(c)], axis=1)
-            out_im_ref[i] = jnp.stack(
-                [scr_im[i, s * c + j] for j in range(c)], axis=1)
+        out_re_ref[i] = gridslice_block(scr_re, s, slice_block, i)
+        out_im_ref[i] = gridslice_block(scr_im, s, slice_block, i)
 
 
 @functools.partial(
@@ -492,7 +479,6 @@ def four_step_fft(
         r_last2 = radices2[-1]
         if (s_total2 is not None and s_total2 % slice_block == 0
                 and r_last2 >= 8):
-            sd2 = jnp.dtype(state_dtype)
             in_spec2g = pl.BlockSpec(
                 (bt2, k1_tile, n2), lambda ib, ik, s: (ib, ik, 0),
                 memory_space=pltpu.VMEM,
@@ -508,7 +494,7 @@ def four_step_fft(
             ]
             kern2g = lambda *r: _row_kernel_gridslice(
                 r[:-2], r[-2:], radices2, algorithm, n2, k1_tile, bt2,
-                s_total2, slice_block, grouped, sd2, complex_mult, first_dot)
+                s_total2, slice_block, grouped, sd, complex_mult, first_dot)
             out_re, out_im = pl.pallas_call(
                 kern2g,
                 grid=(b // bt2, n1 // k1_tile, s_total2 // slice_block),

@@ -678,14 +678,24 @@ def gridslice_kernel_body(refs, scratch, radices, algorithm, grouped,
             scr_im[kk] = sl[1].astype(scr_im.dtype)
 
     c = slice_block
+    out_re_ref[...] = gridslice_block(scr_re, s, c)
+    out_im_ref[...] = gridslice_block(scr_im, s, c)
+
+
+def gridslice_block(scr_ref, s, c, i=None):
+    """Shared gridslice store epilogue: the (R, C, t) block of C parked
+    slices for grid step ``s`` (``i`` selects the batch element of the
+    four-step pass kernels' 4D scratch).
+
+    The two forms are perf-sensitive measured layouts — C == 1 stores a
+    single-sublane-strided block, C > 1 a small C-way interleave that
+    overlaps the outbound DMA pipeline; keep every engine on this exact
+    shape rather than re-deriving it per kernel.
+    """
+    get = (lambda k: scr_ref[k]) if i is None else (lambda k: scr_ref[i, k])
     if c == 1:
-        out_re_ref[...] = scr_re[s][:, None, :]
-        out_im_ref[...] = scr_im[s][:, None, :]
-    else:
-        out_re_ref[...] = jnp.stack(
-            [scr_re[s * c + j] for j in range(c)], axis=1)
-        out_im_ref[...] = jnp.stack(
-            [scr_im[s * c + j] for j in range(c)], axis=1)
+        return get(s)[:, None, :]
+    return jnp.stack([get(s * c + j) for j in range(c)], axis=1)
 
 
 @functools.partial(

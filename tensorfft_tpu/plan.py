@@ -531,7 +531,26 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
     n_fused = min(n_fused, plan.max_fused_length)
     state_bytes = 2 if plan.state_dtype == "bfloat16" else 4
     working_set = n_fused * plan.lane_tile * state_bytes * 2 * 2
-    if plan.engine.startswith("gridslice"):
+
+    def _gridslice_applies(radices, need_wide_last: bool) -> bool:
+        # Mirrors the kernels' fallback gate: a gridslice engine only
+        # allocates scratch when the last stage can emit whole slices
+        # (fused_pallas.gridslice_layout); the four-step passes additionally
+        # need a sublane-multiple last radix for their scratch tiling.
+        if not plan.engine.startswith("gridslice"):
+            return False
+        radices = tuple(radices)
+        if need_wide_last and radices[-1] < 8:
+            return False
+        from tensorfft_tpu.ops.fused_pallas import gridslice_layout
+
+        return gridslice_layout(radices, plan.grouped) is not None
+
+    if plan.four_step_split is None:
+        gs_scratch = _gridslice_applies(plan.radices, need_wide_last=False)
+    else:
+        gs_scratch = _gridslice_applies(plan.col_radices, need_wide_last=True)
+    if gs_scratch:
         # Slice-parking scratch planes (storage dtype) of the deferred-
         # interleave engines (fused kernel and four-step column pass).
         working_set += (n_fused * plan.lane_tile * 2
@@ -551,9 +570,11 @@ def plan_works_on_device(plan: FFTPlan, device=None) -> Tuple[bool, str]:
         k1 = min(plan.k1_tile, n1)
         storage_bytes = 2 if plan.precision is Precision.BFLOAT16 else 4
         # in+out re+im double-buffered, plus the slice-parking scratch planes
-        # of the deferred-interleave row pass.
-        io_planes = 2 * 2 * 2 + (2 if plan.engine.startswith("gridslice")
-                                 else 0)
+        # of the deferred-interleave row pass (only when the row radices can
+        # actually emit whole slices — the kernel falls back otherwise).
+        io_planes = 2 * 2 * 2 + (
+            2 if _gridslice_applies(plan.row_radices, need_wide_last=True)
+            else 0)
         k2_set = k1 * n2 * (io_planes * storage_bytes + 2 * state_bytes)
         if k2_set > vmem_budget:
             return (

@@ -633,23 +633,30 @@ def tune(
     from tensorfft_tpu.ops.fused_pallas import gridslice_layout
 
     engine_alts = ["stacked", "planar"]
-    gs_rads = None
+    gs_quals = []
     if best_cfg.strategy == "fused":
-        gs_rads = tuple(best_cfg.radices or optimal_radices(n))
+        s_tot = gridslice_layout(tuple(best_cfg.radices or
+                                       optimal_radices(n)), best_cfg.grouped)
+        if s_tot is not None:
+            gs_quals.append(s_tot)
     elif split is not None:
-        # K2 scratch blocks are (R_last, k1_tile)-tiled, so the row pass
-        # additionally needs a sublane-multiple last radix.
-        rads2 = tuple(best_cfg.row_radices or optimal_radices(split[1]))
-        if rads2[-1] >= 8:
-            gs_rads = rads2
-    if gs_rads is not None:
-        s_total = gridslice_layout(gs_rads, best_cfg.grouped)
-        if s_total is not None:
-            engine_alts.append("gridslice")
-            if s_total % 16 == 0:
-                # tile-aligned chunked stores (C-way per-step interleave
-                # overlapped with the DMA pipeline) vs single-sublane blocks
-                engine_alts.append("gridslice16")
+        # Either four-step pass can run gridslice independently (the other
+        # falls back to stacked), so qualifying ANY pass earns the
+        # challenge.  Pass scratch blocks are (R_last, lanes)-tiled, hence
+        # the sublane-multiple last-radix requirement.
+        for rads in (best_cfg.col_radices or optimal_radices(split[0]),
+                     best_cfg.row_radices or optimal_radices(split[1])):
+            rads = tuple(rads)
+            if rads[-1] >= 8:
+                s_tot = gridslice_layout(rads, best_cfg.grouped)
+                if s_tot is not None:
+                    gs_quals.append(s_tot)
+    if gs_quals:
+        engine_alts.append("gridslice")
+        if any(q % 16 == 0 for q in gs_quals):
+            # tile-aligned chunked stores (C-way per-step interleave
+            # overlapped with the DMA pipeline) vs single-sublane blocks
+            engine_alts.append("gridslice16")
     for eng in engine_alts:
         if eng == best_cfg.engine:
             continue

@@ -76,3 +76,23 @@ def test_large_n_phase_reduction():
 def test_bad_scaling_raises():
     with pytest.raises(ValueError, match="bad scaling"):
         fft_any(np.ones(10)[None, :], scaling="bogus")
+
+def test_fft_any_accepts_tuning_kwarg_and_n1():
+    # Review regressions: an explicit tuning= kwarg must not collide with
+    # the M-plan's cache consultation, and N=1 is the identity transform.
+    y = fft_any(np.ones(12, np.float32)[None, :], tuning="auto")
+    assert y.shape == (1, 12)
+    z = fft_any((np.ones(1, np.float32) * 3)[None, :])
+    assert z[0, 0] == 3.0
+
+
+def test_fft_split_any_dtype_matches_pow2_contract():
+    # Both paths must return storage-dtype planes (bf16 under the bfloat16
+    # policy), not a float32 special case on the Bluestein branch.
+    import jax.numpy as jnp
+
+    for n in (1000, 1024):
+        r, i = fft_split_any(np.ones((1, n), np.float32),
+                             np.zeros((1, n), np.float32),
+                             precision="bfloat16")
+        assert r.dtype == jnp.bfloat16, (n, r.dtype)
