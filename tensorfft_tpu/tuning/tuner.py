@@ -173,14 +173,26 @@ class ResumeLog:
 
 
 def _code_stamp() -> str:
-    try:
-        return subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-             "rev-parse", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
-    except Exception:
-        return "unknown"
+    """Tree hash of the library package (not HEAD).
+
+    Journals must be discarded when the measured code changes, but doc/test/
+    benchmark commits landing mid-campaign should NOT poison an in-flight
+    sweep's journal — only commits that touch ``tensorfft_tpu/`` can change
+    what a measurement means.  Falls back to HEAD (old behavior) for
+    checkouts where the path lookup fails.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    for ref in ("HEAD:tensorfft_tpu", "HEAD"):
+        try:
+            out = subprocess.run(
+                ["git", "-C", here, "rev-parse", ref],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if out:
+                return out
+        except Exception:
+            pass
+    return "unknown"
 
 
 def _radix_candidates(n: int, max_candidates: int = 6) -> List[Tuple[int, ...]]:
