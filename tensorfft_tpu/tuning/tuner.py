@@ -11,6 +11,7 @@ instead of launch geometry; measurement uses the chained-slope timer.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import itertools
 import json
 import os
@@ -173,25 +174,40 @@ class ResumeLog:
 
 
 def _code_stamp() -> str:
-    """Tree hash of the library package (not HEAD).
+    """Hash of the library package's source blobs (not HEAD).
 
     Journals must be discarded when the measured code changes, but doc/test/
     benchmark commits landing mid-campaign should NOT poison an in-flight
     sweep's journal — only commits that touch ``tensorfft_tpu/`` can change
-    what a measurement means.  Falls back to HEAD (old behavior) for
-    checkouts where the path lookup fails.
+    what a measurement means.  The tuner cache itself
+    (``tuning/tuner_cache.json``) is DATA the campaign produces, so committing
+    retuned winners mid-campaign must not invalidate the very journals that
+    produced them — it is excluded from the hash.  Falls back to HEAD (old
+    behavior) for checkouts where the tree lookup fails.
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    for ref in ("HEAD:tensorfft_tpu", "HEAD"):
-        try:
-            out = subprocess.run(
-                ["git", "-C", here, "rev-parse", ref],
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip()
-            if out:
-                return out
-        except Exception:
-            pass
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "ls-tree", "--full-tree", "-r",
+             "HEAD:tensorfft_tpu"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+        lines = [ln for ln in out.splitlines()
+                 if not ln.endswith("tuning/tuner_cache.json")]
+        if lines:
+            return hashlib.sha256(
+                "\n".join(sorted(lines)).encode()).hexdigest()
+    except Exception:
+        pass
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if out:
+            return out
+    except Exception:
+        pass
     return "unknown"
 
 

@@ -1,4 +1,6 @@
 """Tuner cache/search-space and file-writer tests (T3/T8-T10 analogs)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -250,6 +252,35 @@ def test_resume_log_stale_stamp(tmp_path):
                              "s_ns": 0.0}) + "\n")
     log = ResumeLog(path)
     assert log.get("k") is None
+
+
+def test_code_stamp_ignores_tuner_cache():
+    # The journal stamp must key on the library SOURCE only: committing
+    # retuned cache winners mid-campaign must not invalidate the in-flight
+    # journals that produced them.  Recompute the hash from git ls-tree with
+    # the cache line present vs absent and check only the absent variant
+    # matches _code_stamp().
+    import hashlib
+    import subprocess
+
+    from tensorfft_tpu.tuning.tuner import _code_stamp
+
+    out = subprocess.run(
+        ["git", "-C", os.path.dirname(__file__), "ls-tree", "--full-tree",
+         "-r", "HEAD:tensorfft_tpu"],
+        capture_output=True, text=True, timeout=10,
+    ).stdout
+    lines = out.splitlines()
+    if not any(ln.endswith("tuning/tuner_cache.json") for ln in lines):
+        pytest.skip("no committed tuner cache in this checkout")
+    with_cache = hashlib.sha256(
+        "\n".join(sorted(lines)).encode()).hexdigest()
+    without_cache = hashlib.sha256("\n".join(sorted(
+        ln for ln in lines
+        if not ln.endswith("tuning/tuner_cache.json"))).encode()).hexdigest()
+    stamp = _code_stamp()
+    assert stamp == without_cache
+    assert stamp != with_cache
 
 
 def test_tune_resume_path(tmp_path):
