@@ -74,6 +74,7 @@ def _block_engine(plan: FFTPlan):
                 complex_mult=plan.complex_mult,
                 engine=plan.engine,
                 first_dot=plan.first_dot,
+                interleave_downcast=plan.interleave_downcast,
             )
 
         return engine

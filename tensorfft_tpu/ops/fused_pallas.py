@@ -386,7 +386,7 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                grouped: bool = False, state_dtype=jnp.float32,
                kloop_width: int = _KLOOP_WIDTH, complex_mult: str = "block",
                first_dot: str = "default", pretwiddle: bool = False,
-               emit_slices: bool = False):
+               emit_slices: bool = False, out_dtype=None):
     """Run the whole stage sequence on a stacked (2, n, t) state.
 
     The shared in-VMEM engine behind every kernel (whole-transform fused,
@@ -410,6 +410,16 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
     ~615 us of the N=16384/b=4096 kernel) is then done by the output DMA
     engine via per-slice grid-blocked HBM stores.  The last stage must be a
     kloop (g forced to 1) or a p==1 grouped stage.
+
+    ``out_dtype`` (the interleave_downcast knob) casts the LAST stage's
+    outputs to the kernel's output dtype BEFORE the K-way interleave stack
+    instead of after it.  astype-then-permute is elementwise-identical to
+    permute-then-astype, so results are bit-identical — but when the output
+    is bf16 and the state fp32, the sublane shuffle moves half the bytes.
+    This buys the interleave half of the bf16-state win without bf16
+    state's per-stage rounding (which lost its retune challenges).  Only
+    the final output may be downcast; callers whose stage_loop output feeds
+    further math (four-step twiddles) must leave it None.
     """
     sd = state_dtype
     alg0 = (first_dot if (first_dot != "default" and algorithm == "bf16")
@@ -425,15 +435,19 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
     for i, (kind, radix, k, p) in enumerate(kinds):
         m //= radix
         use3 = complex_mult == "mult3" and radix >= 128
+        # od: dtype of THIS stage's output — sd between stages, out_dtype
+        # (when set) on the last stage so the interleave moves output-width
+        # data.  Identical values either way (astype commutes with stack).
+        od = out_dtype if (i == last_i and out_dtype is not None) else sd
         if kind == "first":
             bd = table_refs[ti][:]
             ti += 1
             if use3:
                 zv = state.reshape(2, radix, m * t)
-                state = _mult3(bd, zv[0], zv[1], radix, alg0, sd)
+                state = _mult3(bd, zv[0], zv[1], radix, alg0, od)
             else:
                 z2 = state.reshape(2 * radix, m * t)
-                out = dots.dot(bd, z2, alg0).astype(sd)
+                out = dots.dot(bd, z2, alg0).astype(od)
                 state = out.reshape(2, radix, m * t)
         elif kind == "grouped":
             g_tab = table_refs[ti][:]
@@ -442,7 +456,7 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             outs = []
             for g in range(k // p):
                 zg = zv[:, g * p:(g + 1) * p].reshape(2 * p * radix, m * t)
-                o = dots.dot(g_tab[g], zg, algorithm).astype(sd)
+                o = dots.dot(g_tab[g], zg, algorithm).astype(od)
                 # p == 1 keeps slices 3D — a trailing singleton pack axis
                 # makes Mosaic lower the interleave stack measurably slower
                 # (same finding as the kloop branch: 1939 vs 1516 us at
@@ -495,10 +509,10 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                     wide_im = jnp.concatenate(
                         [tw_im[gi * g + j] for j in range(g)], 1)
                 if use3:
-                    out_g = _mult3(bd, wide_re, wide_im, radix, algorithm, sd)
+                    out_g = _mult3(bd, wide_re, wide_im, radix, algorithm, od)
                 else:
                     z_wide = jnp.concatenate([wide_re, wide_im], axis=0)
-                    out_g = dots.dot(bd, z_wide, algorithm).astype(sd)
+                    out_g = dots.dot(bd, z_wide, algorithm).astype(od)
                 # g == 1 keeps slices 3D: a trailing singleton group axis
                 # (5D stack) makes Mosaic lower the interleave ~25% slower
                 # for the whole kernel (measured 1939 vs 1516 us at
@@ -530,12 +544,12 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                     bd,
                     tw_re.swapaxes(0, 1).reshape(radix, k * m * t),
                     tw_im.swapaxes(0, 1).reshape(radix, k * m * t),
-                    radix, algorithm, sd,
+                    radix, algorithm, od,
                 )
             else:
                 tw = jnp.stack([tw_re, tw_im])
                 z2 = tw.swapaxes(1, 2).reshape(2 * radix, k * m * t)
-                out = dots.dot(bd, z2, algorithm).astype(sd)
+                out = dots.dot(bd, z2, algorithm).astype(od)
             state = out.reshape(2, radix * k, m * t)
         if pretwiddle and i < last_i:
             # Epilogue: apply the NEXT stage's twiddle W[j, kk] on this
@@ -559,7 +573,8 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
                           kloop_width: int = _KLOOP_WIDTH,
                           complex_mult: str = "block",
                           engine: str = "stacked",
-                          first_dot: str = "default"):
+                          first_dot: str = "default",
+                          interleave_downcast: bool = False):
     """Shared kernel body: refs = (re_ref, im_ref, *tables, out_re, out_im).
 
     State: stacked (2, K, M*T) fp32 — plane 0 RE, plane 1 IM.  Twiddles run in
@@ -612,7 +627,9 @@ def fused_fft_kernel_body(refs, radices: Sequence[int], algorithm: str,
                           grouped=grouped, state_dtype=state_dtype,
                           kloop_width=kloop_width, complex_mult=complex_mult,
                           first_dot=first_dot,
-                          pretwiddle=(engine == "pretwiddle"))
+                          pretwiddle=(engine == "pretwiddle"),
+                          out_dtype=(out_re_ref.dtype if interleave_downcast
+                                     else None))
     out_re_ref[:] = state[0].reshape(n, t).astype(out_re_ref.dtype)
     out_im_ref[:] = state[1].reshape(n, t).astype(out_im_ref.dtype)
 
@@ -702,7 +719,8 @@ def gridslice_block(scr_ref, s, c, i=None):
     jax.jit,
     static_argnames=("radices", "scales", "sign", "lane_tile", "algorithm",
                      "interpret", "grouped", "state_dtype", "kloop_width",
-                     "complex_mult", "engine", "first_dot"),
+                     "complex_mult", "engine", "first_dot",
+                     "interleave_downcast"),
 )
 def fused_fft(
     re,
@@ -720,11 +738,18 @@ def fused_fft(
     complex_mult: str = "block",
     engine: str = "stacked",
     first_dot: str = "default",
+    interleave_downcast: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-transform FFT on transform-major (N, B) planes via one Pallas pass.
 
     Output dtype matches input dtype (storage rounding at the HBM boundary);
     in-kernel compute is fp32 with ``algorithm`` matmul operands.
+
+    ``interleave_downcast`` casts the last stage's slices to the output
+    dtype BEFORE the K-way interleave stack (bit-identical results — see
+    stage_loop).  Only the stacked/pretwiddle engines consume it; planar
+    has no stacked interleave and gridslice already parks slices in the
+    output dtype.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -825,12 +850,10 @@ def fused_fft(
     ]
 
     sd = jnp.dtype(state_dtype)
-    kernel = lambda *refs: fused_fft_kernel_body(refs, radices, algorithm,
-                                                 grouped, state_dtype=sd,
-                                                 kloop_width=kloop_width,
-                                                 complex_mult=complex_mult,
-                                                 engine=engine,
-                                                 first_dot=first_dot)
+    kernel = lambda *refs: fused_fft_kernel_body(
+        refs, radices, algorithm, grouped, state_dtype=sd,
+        kloop_width=kloop_width, complex_mult=complex_mult, engine=engine,
+        first_dot=first_dot, interleave_downcast=interleave_downcast)
 
     out_re, out_im = pl.pallas_call(
         kernel,

@@ -293,6 +293,13 @@ class FFTPlan:
     # reference analog is warps-per-block on the radix kernels
     # (Plan.h:117-149).  Four-step plans only; tuner knob.
     k1_tile: int = 128
+    # Cast the fused kernel's LAST stage outputs to the storage dtype BEFORE
+    # the K-way interleave stack (bit-identical — astype commutes with the
+    # permutation) so the Mosaic sublane shuffle moves output-width data:
+    # with fp32 state and bf16 storage that halves the interleave's bytes,
+    # the interleave half of the bf16-state win without its per-stage
+    # rounding.  Stacked/pretwiddle fused engines only; tuner knob.
+    interleave_downcast: bool = False
 
     def __post_init__(self):
         if not is_power_of_2(self.fft_length):
@@ -320,6 +327,11 @@ class FFTPlan:
             raise ValueError(f"bad engine {self.engine!r}")
         if self.first_dot not in ("default", "bf16ax2"):
             raise ValueError(f"bad first_dot {self.first_dot!r}")
+        if not isinstance(self.interleave_downcast, bool):
+            raise ValueError(
+                f"interleave_downcast must be a bool, "
+                f"got {self.interleave_downcast!r}"
+            )
         if self.k1_tile < 128 or not is_power_of_2(self.k1_tile):
             raise ValueError(
                 f"k1_tile must be a power of 2 >= 128, got {self.k1_tile}"
@@ -442,6 +454,7 @@ def create_plan(
     engine = str(tuning.get("engine", "stacked"))
     first_dot = str(tuning.get("first_dot", "auto"))
     k1_tile = int(tuning.get("k1_tile", 128))
+    interleave_downcast = bool(tuning.get("interleave_downcast", False))
     if first_dot == "auto":
         # Small-N bf16 transforms get the compensated first stage by
         # default: measured ~40%+ extra gate headroom at N=256 for a
@@ -502,6 +515,7 @@ def create_plan(
         engine=engine,
         first_dot=first_dot,
         k1_tile=k1_tile,
+        interleave_downcast=interleave_downcast,
     )
 
 

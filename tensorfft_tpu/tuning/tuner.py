@@ -22,6 +22,7 @@ import numpy as np
 
 from tensorfft_tpu.plan import (
     DEFAULT_MAX_FUSED_LENGTH,
+    Precision,
     balanced_radices,
     create_plan,
     default_four_step_split,
@@ -56,6 +57,7 @@ class RunConfig:
     engine: str = "stacked"
     max_fused_length: Optional[int] = None
     k1_tile: int = 128
+    interleave_downcast: bool = False
 
     def as_tuning(self) -> dict:
         t = {"strategy": self.strategy, "lane_tile": self.lane_tile}
@@ -81,6 +83,8 @@ class RunConfig:
             t["max_fused_length"] = self.max_fused_length
         if self.k1_tile != 128:
             t["k1_tile"] = self.k1_tile
+        if self.interleave_downcast:
+            t["interleave_downcast"] = True
         return t
 
 
@@ -498,6 +502,7 @@ def _config_from_entry(entry: dict) -> RunConfig:
         max_fused_length=(int(entry["max_fused_length"])
                           if entry.get("max_fused_length") else None),
         k1_tile=int(entry.get("k1_tile", 128)),
+        interleave_downcast=bool(entry.get("interleave_downcast", False)),
     )
 
 
@@ -724,6 +729,24 @@ def tune(
             dataclasses.replace(
                 best_cfg,
                 kloop_width=256 if best_cfg.kloop_width == 128 else 128,
+            ),
+            audit=audit, resume=resume,
+        )
+    # interleave_downcast casts the last stage's slices to the storage dtype
+    # BEFORE the K-way interleave stack (bit-identical outputs), halving the
+    # sublane shuffle's bytes when the state is fp32 and storage is bf16 —
+    # the interleave half of the bf16-state trade without its per-stage
+    # rounding.  Only meaningful on the stacked/pretwiddle fused engines
+    # with a wider state than storage.
+    if (best_cfg.strategy == "fused"
+            and best_cfg.engine in ("stacked", "pretwiddle")
+            and best_cfg.state_dtype == "float32"
+            and Precision(precision) is Precision.BFLOAT16):
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(
+                best_cfg,
+                interleave_downcast=not best_cfg.interleave_downcast,
             ),
             audit=audit, resume=resume,
         )

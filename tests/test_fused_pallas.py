@@ -523,3 +523,74 @@ def test_first_dot_compensation_small_n():
             devs[fd] = float(np.mean(avg))
         assert devs["bf16ax2"] < devs["default"], (n, devs)
         assert devs["bf16ax2"] <= 1e-3, (n, devs)  # gate with extra headroom
+
+
+def test_interleave_downcast_bit_identical():
+    # interleave_downcast casts the LAST stage's slices to the storage dtype
+    # BEFORE the K-way interleave stack.  astype commutes with the
+    # permutation, so outputs must be BIT-identical to the default across
+    # the structural last-stage kinds (kloop, grouped p==1, mult3, 'big',
+    # single-stage 'first') — the knob may only change Mosaic's lowering,
+    # never values.
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (4096, (32, 128), 130, {}),                # kloop last + padding
+        (16384, (64, 256), 8, {}),                 # headline shape
+        (8192, (64, 128), 8, {"grouped": True}),   # grouped p==1 last
+        (4096, (32, 128), 8, {"complex_mult": "mult3"}),
+        (4096, (16, 16, 16), 8, {}),               # 'big' last stage
+        (256, (256,), 8, {}),                      # 'first' is also last
+    ]
+    for n, radices, b, kw in cases:
+        re = rng.standard_normal((n, b)).astype(np.float32)
+        im = rng.standard_normal((n, b)).astype(np.float32)
+        scales = stage_scales(radices, "forward", True)
+        args = dict(radices=radices, scales=scales, sign=-1,
+                    algorithm="bf16", interpret=True, **kw)
+        import jax.numpy as jnp
+        re_b = jnp.asarray(re, jnp.bfloat16)
+        im_b = jnp.asarray(im, jnp.bfloat16)
+        d_re, d_im = fused_pallas.fused_fft(
+            re_b, im_b, interleave_downcast=True, **args)
+        s_re, s_im = fused_pallas.fused_fft(re_b, im_b, **args)
+        assert d_re.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(d_re), np.asarray(s_re))
+        np.testing.assert_array_equal(np.asarray(d_im), np.asarray(s_im))
+        # and still correct vs the oracle (bf16 storage tolerance)
+        want = np.fft.fft(re.astype(np.float64)
+                          + 1j * im.astype(np.float64), axis=0) / n
+        got = np.asarray(d_re, np.float64) + 1j * np.asarray(d_im, np.float64)
+        assert np.abs(got - want).max() < 3e-2, (n, radices, kw)
+
+
+def test_interleave_downcast_through_public_api():
+    # Plan knob -> fused dispatch plumbing, plus validation and the tuner's
+    # RunConfig/tuning-dict round trip.
+    import dataclasses as _dc
+
+    from tensorfft_tpu.tuning.tuner import RunConfig, _config_from_entry
+
+    n, b = 1024, 32
+    re, im = make_test_signal(n, 42, 1764)
+    re_b = np.broadcast_to(re, (b, n)).copy()
+    im_b = np.broadcast_to(im, (b, n)).copy()
+    plan_d = tfft.create_plan(n, tuning={"interleave_downcast": True})
+    assert plan_d.interleave_downcast is True
+    got_d = tfft.fft_split(re_b, im_b, plan_d)
+    got_s = tfft.fft_split(re_b, im_b, tfft.create_plan(n))
+    np.testing.assert_array_equal(np.asarray(got_d[0]), np.asarray(got_s[0]))
+    np.testing.assert_array_equal(np.asarray(got_d[1]), np.asarray(got_s[1]))
+
+    with pytest.raises(ValueError, match="interleave_downcast"):
+        tfft.create_plan(n, tuning={"interleave_downcast": True}) and None
+        _dc.replace(plan_d, interleave_downcast="yes")
+
+    cfg = RunConfig(strategy="fused", radices=(32, 32),
+                    interleave_downcast=True)
+    t = cfg.as_tuning()
+    assert t["interleave_downcast"] is True
+    assert _config_from_entry(t).interleave_downcast is True
+    assert "interleave_downcast" not in RunConfig(
+        strategy="fused", radices=(32, 32)).as_tuning()
