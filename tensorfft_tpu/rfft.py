@@ -27,9 +27,9 @@ __all__ = ["rfft_split", "irfft_split", "rfft", "irfft",
            "rfftn_split", "irfftn_split", "rfftn", "irfftn"]
 
 
-def _pack_tables(n: int, sign: int):
+def _pack_tables(n: int, sign: int, bins: Optional[int] = None):
     m = n // 2
-    k = np.arange(m + 1, dtype=np.float64)
+    k = np.arange(m + 1 if bins is None else bins, dtype=np.float64)
     phase = sign * 2.0 * np.pi * k / n
     return (
         jnp.asarray(np.cos(phase), jnp.float32),
@@ -37,23 +37,20 @@ def _pack_tables(n: int, sign: int):
     )
 
 
-def _extend(z):
-    """z[..., k] for k = 0..M (period-M extension): append bin 0."""
-    return jnp.concatenate([z, z[..., :1]], axis=-1)
+def _reverse_mod(z):
+    """z[..., (M-k) mod M] for k = 0..M-1, staying lane-aligned.
 
-
-def _reverse_extend(z):
-    """z[..., (M-k) mod M] for k = 0..M without a gather.
-
-    The index sequence is [0, M-1, M-2, ..., 1, 0]: one lane-dim reverse
-    (jnp.flip — an XLA Reverse, cheap on TPU) bracketed by bin 0.  The naive
-    jnp.take formulation is a lane-dimension gather, the classic TPU slow
-    path (round-2 verdict: the untangle step was never measured and gathers
-    were the suspected cost).
+    roll(z, -1) puts z[(j+1) mod M] at j; reversing that yields
+    z[(M-k) mod M] at k.  Both ops keep the full power-of-two lane length M —
+    no gather (the classic TPU slow path), and no odd-length (M+1)
+    intermediates.  The round-3 TPU measurement showed the previous
+    formulation (three concats building (M+1)-length operands, with the
+    whole elementwise untangle chain then running lane-misaligned) cost 94%
+    of the half-length C2C roundtrip it wraps; keeping every elementwise op
+    at aligned length M and appending the Nyquist bin as a single (B, 1)
+    column at the very end removes that misalignment.
     """
-    return jnp.concatenate(
-        [z[..., :1], jnp.flip(z[..., 1:], axis=-1), z[..., :1]], axis=-1
-    )
+    return jnp.flip(jnp.roll(z, -1, axis=-1), axis=-1)
 
 
 def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
@@ -78,12 +75,14 @@ def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
     Z_re = Z_re.astype(jnp.float32)
     Z_im = Z_im.astype(jnp.float32)
 
-    u_re = _extend(Z_re)
-    u_im = _extend(Z_im)
-    v_re = _reverse_extend(Z_re)
-    v_im = -_reverse_extend(Z_im)
+    # Bins 0..M-1 on aligned length-M arrays (see _reverse_mod); the Nyquist
+    # bin M is a closed form of Z[0] (w[M] = -1, U = Z[0], V = conj(Z[0]):
+    # X[M] = 2*(Re Z0 - Im Z0) * scale, imaginary part exactly 0).
+    u_re, u_im = Z_re, Z_im
+    v_re = _reverse_mod(Z_re)
+    v_im = -_reverse_mod(Z_im)
 
-    w_re, w_im = _pack_tables(n, -1)
+    w_re, w_im = _pack_tables(n, -1, bins=m)
     a_re, a_im = u_re + v_re, u_im + v_im          # U + V
     b_re, b_im = u_re - v_re, u_im - v_im          # U - V
     # -i * w * b  =  (-i)(w_re + i w_im)(b_re + i b_im)
@@ -92,6 +91,9 @@ def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
     scale = _output_scale(plan, forward=True)
     out_re = (a_re + c_re) * scale
     out_im = (a_im + c_im) * scale
+    nyq_re = 2.0 * scale * (Z_re[..., :1] - Z_im[..., :1])
+    out_re = jnp.concatenate([out_re, nyq_re], axis=-1)
+    out_im = jnp.concatenate([out_im, jnp.zeros_like(nyq_re)], axis=-1)
     return out_re.astype(plan.precision.storage_dtype), out_im.astype(
         plan.precision.storage_dtype
     )
@@ -128,16 +130,17 @@ def irfft_split(re, im, plan: Optional[FFTPlan] = None, n: Optional[int] = None,
 
     # Rebuild Z[k], k = 0..M-1 from X: Z[k] = (A[k] + i*wi[k]*B[k]) where
     # A = X[k] + conj(X[M-k]), B = X[k] - conj(X[M-k]), wi[k] = exp(+2pi i k/N).
-    # X index M-k for k = 0..M-1 is a pure lane reverse of bins 1..M (no
-    # gather; see _reverse_extend).
+    # X index M-k for k = 0..M-1: reverse the whole (M+1)-bin array once and
+    # take the leading aligned length-M slice (flip(X)[k] = X[M-k]) — no
+    # gather, and every elementwise op below runs on aligned length-M arrays
+    # (see _reverse_mod).
     x_re_k = re[..., :m]
     x_im_k = im[..., :m]
-    x_re_r = jnp.flip(re[..., 1:], axis=-1)
-    x_im_r = -jnp.flip(im[..., 1:], axis=-1)
+    x_re_r = jnp.flip(re, axis=-1)[..., :m]
+    x_im_r = -jnp.flip(im, axis=-1)[..., :m]
     a_re, a_im = x_re_k + x_re_r, x_im_k + x_im_r
     b_re, b_im = x_re_k - x_re_r, x_im_k - x_im_r
-    w_re_full, w_im_full = _pack_tables(n, +1)
-    w_re, w_im = w_re_full[:m], w_im_full[:m]
+    w_re, w_im = _pack_tables(n, +1, bins=m)
     # i * w * b
     c_re = -(w_re * b_im + w_im * b_re)
     c_im = w_re * b_re - w_im * b_im

@@ -277,8 +277,16 @@ def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -
         # cartesian product (strategy axis stays four_step) and appended as
         # explicit extra configs in get_run_configs.
         if n <= 4 * max_fused_length:
+            # Prefer few stages and small last-stage slice counts: the fused
+            # kernel's trace-time unroll and interleave both scale with
+            # k = n / r_last, so (128, 256) at n=32768 (k=128, the 16384
+            # winner's structure scaled up) must outrank (32, 32, 32)
+            # (k=1024, kloop unroll explosion) — a plain [:3] cut it.
+            fused_cands = sorted(
+                _radix_candidates(n), key=lambda r: (len(r), n // r[-1])
+            )[:3]
             space["fused_bign"] = {
-                "radices": _radix_candidates(n)[:3],
+                "radices": fused_cands,
                 "max_fused_length": n,
                 "state_dtypes": (["float32", "bfloat16"]
                                  if n <= 2 * max_fused_length

@@ -46,11 +46,17 @@ def test_search_space_mid_n_fused_challengers(tmp_path):
     assert fused and all(c.max_fused_length == 32768 for c in fused)
     assert any(c.state_dtype == "bfloat16" for c in fused)
     assert all(c.strategy == "four_step" for c in cfgs if c not in fused)
+    # Candidate selection must prefer few stages / small last-stage slice
+    # counts: (128, 256) is the 16384 winner's structure scaled up (k=128);
+    # the high-slice-count (32, 32, 32) (k=1024, kloop unroll explosion)
+    # must not crowd it out of the top-3 cut.
+    assert any(c.radices == (128, 256) for c in fused)
     # 65536 only gets bf16-state fused challengers (fp32 state won't fit);
     # far past the cap (>4x) there are none.
     f65 = [c for c in get_run_configs(get_search_space(65536))
            if c.strategy == "fused"]
     assert f65 and all(c.state_dtype == "bfloat16" for c in f65)
+    assert any(c.radices == (256, 256) for c in f65)
     assert not [c for c in get_run_configs(get_search_space(1 << 20))
                 if c.strategy == "fused"]
     # Cache round-trip keeps the raised cap and the plan honors it.
