@@ -65,12 +65,11 @@ def main():
         return (irfft_split(fr, fi, plan).astype(xx.dtype),)
 
     def c2c_roundtrip(xx):
-        z = xx.reshape(b, m, 2)
-        zr, zi = z[..., 0], z[..., 1]
+        from tensorfft_tpu.rfft import _deinterleave, _interleave
+        zr, zi = _deinterleave(xx)
         fr, fi = _fft_split_jit(zr, zi, plan, True)
         br, bi = _fft_split_jit(fr, fi, plan, False)
-        out = jnp.stack([br, bi], axis=-1).reshape(b, n)
-        return (out.astype(xx.dtype),)
+        return (_interleave(br, bi).astype(xx.dtype),)
 
     r_rfft, r_c2c = chain_compare(rfft_roundtrip, c2c_roundtrip, (x,))
     t_rfft = r_rfft.average_time_ns

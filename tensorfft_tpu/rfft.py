@@ -69,15 +69,40 @@ def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
     elif plan.fft_length != m:
         raise ValueError(f"plan must be for fft_length {m}, got {plan.fft_length}")
 
-    z = x.reshape(*x.shape[:-1], m, 2)
-    z_re, z_im = z[..., 0], z[..., 1]
+    z_re, z_im = _deinterleave(x)
     Z_re, Z_im = _fft_split(z_re, z_im, plan)
+    scale = _output_scale(plan, forward=True)
+    return _untangle_fwd(Z_re, Z_im, n, scale,
+                         plan.precision.storage_dtype)
+
+
+def _deinterleave(x):
+    """(…, N) real -> even/odd planes (…, N/2).
+
+    The (…, m, 2) intermediate has a minormost dim of 2 (2 of 128 lanes if
+    materialized), but measured end-to-end it executes: XLA folds the slices
+    into the consumers.  The two "layout-friendly" alternatives both WEDGE
+    the axon backend inside calibrated timing chains at N=2^20 (round-3
+    measurements, client CPU frozen mid-compile): static strided lane
+    slices (x[..., 0::2]) and, on the interleave side, lax.pad interior
+    dilation.  Keep the proven formulation; the real fix is a Pallas
+    epilogue doing pack+untangle in one kernel pass (queued).
+    """
+    m = x.shape[-1] // 2
+    z = x.reshape(*x.shape[:-1], m, 2)
+    return z[..., 0], z[..., 1]
+
+
+def _untangle_fwd(Z_re, Z_im, n, scale, storage_dtype):
+    """Half-length complex spectrum Z (…, M) -> R2C spectrum X (…, M+1).
+
+    Bins 0..M-1 on aligned length-M arrays (see _reverse_mod); the Nyquist
+    bin M is a closed form of Z[0] (w[M] = -1, U = Z[0], V = conj(Z[0]):
+    X[M] = 2*(Re Z0 - Im Z0) * scale, imaginary part exactly 0).
+    """
+    m = n // 2
     Z_re = Z_re.astype(jnp.float32)
     Z_im = Z_im.astype(jnp.float32)
-
-    # Bins 0..M-1 on aligned length-M arrays (see _reverse_mod); the Nyquist
-    # bin M is a closed form of Z[0] (w[M] = -1, U = Z[0], V = conj(Z[0]):
-    # X[M] = 2*(Re Z0 - Im Z0) * scale, imaginary part exactly 0).
     u_re, u_im = Z_re, Z_im
     v_re = _reverse_mod(Z_re)
     v_im = -_reverse_mod(Z_im)
@@ -88,15 +113,12 @@ def rfft_split(x, plan: Optional[FFTPlan] = None, **plan_kwargs):
     # -i * w * b  =  (-i)(w_re + i w_im)(b_re + i b_im)
     c_re = w_re * b_im + w_im * b_re
     c_im = -(w_re * b_re - w_im * b_im)
-    scale = _output_scale(plan, forward=True)
     out_re = (a_re + c_re) * scale
     out_im = (a_im + c_im) * scale
     nyq_re = 2.0 * scale * (Z_re[..., :1] - Z_im[..., :1])
     out_re = jnp.concatenate([out_re, nyq_re], axis=-1)
     out_im = jnp.concatenate([out_im, jnp.zeros_like(nyq_re)], axis=-1)
-    return out_re.astype(plan.precision.storage_dtype), out_im.astype(
-        plan.precision.storage_dtype
-    )
+    return out_re.astype(storage_dtype), out_im.astype(storage_dtype)
 
 
 def _output_scale(plan: FFTPlan, forward: bool) -> float:
@@ -128,12 +150,22 @@ def irfft_split(re, im, plan: Optional[FFTPlan] = None, n: Optional[int] = None,
     elif plan.fft_length != m:
         raise ValueError(f"plan must be for fft_length {m}, got {plan.fft_length}")
 
-    # Rebuild Z[k], k = 0..M-1 from X: Z[k] = (A[k] + i*wi[k]*B[k]) where
-    # A = X[k] + conj(X[M-k]), B = X[k] - conj(X[M-k]), wi[k] = exp(+2pi i k/N).
-    # X index M-k for k = 0..M-1: reverse the whole (M+1)-bin array once and
-    # take the leading aligned length-M slice (flip(X)[k] = X[M-k]) — no
-    # gather, and every elementwise op below runs on aligned length-M arrays
-    # (see _reverse_mod).
+    z_re, z_im = _retangle_inv(re, im, n, _inverse_pre_scale(plan))
+    o_re, o_im = _ifft_split(z_re, z_im, plan)
+    return _interleave(o_re, o_im).astype(plan.precision.storage_dtype)
+
+
+def _retangle_inv(re, im, n, inv_scale):
+    """R2C spectrum X (…, M+1) -> half-length complex spectrum Z (…, M).
+
+    Rebuild Z[k], k = 0..M-1 from X: Z[k] = (A[k] + i*wi[k]*B[k]) where
+    A = X[k] + conj(X[M-k]), B = X[k] - conj(X[M-k]), wi[k] = exp(+2pi i k/N).
+    X index M-k for k = 0..M-1: reverse the whole (M+1)-bin array once and
+    take the leading aligned length-M slice (flip(X)[k] = X[M-k]) — no
+    gather, and every elementwise op below runs on aligned length-M arrays
+    (see _reverse_mod).
+    """
+    m = n // 2
     x_re_k = re[..., :m]
     x_im_k = im[..., :m]
     x_re_r = jnp.flip(re, axis=-1)[..., :m]
@@ -144,15 +176,16 @@ def irfft_split(re, im, plan: Optional[FFTPlan] = None, n: Optional[int] = None,
     # i * w * b
     c_re = -(w_re * b_im + w_im * b_re)
     c_im = w_re * b_re - w_im * b_im
-    z_re = a_re + c_re
-    z_im = a_im + c_im
+    z_re = (a_re + c_re) * inv_scale
+    z_im = (a_im + c_im) * inv_scale
+    return z_re, z_im
 
-    inv_scale = _inverse_pre_scale(plan)
-    z_re = z_re * inv_scale
-    z_im = z_im * inv_scale
-    o_re, o_im = _ifft_split(z_re, z_im, plan)
-    x = jnp.stack([o_re.astype(jnp.float32), o_im.astype(jnp.float32)], axis=-1)
-    return x.reshape(*x.shape[:-2], n).astype(plan.precision.storage_dtype)
+
+def _interleave(re, im):
+    """Even/odd planes (…, M) -> (…, 2M) real (see _deinterleave on why the
+    stack formulation is kept)."""
+    x = jnp.stack([re.astype(jnp.float32), im.astype(jnp.float32)], axis=-1)
+    return x.reshape(*x.shape[:-2], 2 * x.shape[-2])
 
 
 def _inverse_pre_scale(plan: FFTPlan) -> float:
