@@ -65,6 +65,18 @@ def main():
         return (irfft_split(fr, fi, plan).astype(xx.dtype),)
 
     def c2c_roundtrip(xx):
+        # Pack/interleave via the same Pallas kernels the rfft arm uses
+        # (on TPU), so the arms differ ONLY by untangle+retangle — the
+        # round-3 version used the XLA pack here, which (being ~2.9 ms of
+        # structural ops itself) hid untangle cost inside a bloated base.
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from tensorfft_tpu.ops import rfft_pallas
+            zr, zi = rfft_pallas.pack_split(xx)
+            fr, fi = _fft_split_jit(zr, zi, plan, True)
+            br, bi = _fft_split_jit(fr, fi, plan, False)
+            return (rfft_pallas.interleave_split(br, bi).astype(xx.dtype),)
         from tensorfft_tpu.rfft import _deinterleave, _interleave
         zr, zi = _deinterleave(xx)
         fr, fi = _fft_split_jit(zr, zi, plan, True)
