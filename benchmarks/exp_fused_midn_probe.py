@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--vmem-mib", type=int, default=100,
                     help="scoped-VMEM request (module default 100)")
     ap.add_argument("--batch-elems", type=int, default=1 << 24)
+    ap.add_argument("--kloop-width", type=int, default=0,
+                    help="kloop lane-panel width override (0 = default)")
+    ap.add_argument("--lane-tile", type=int, default=128)
     ap.add_argument("--measure", action="store_true",
                     help="chain-measure when the config compiles")
     args = ap.parse_args()
@@ -61,13 +64,18 @@ def main():
     im = jnp.asarray(rng.standard_normal((n, batch)), jnp.bfloat16)
     scales = stage_scales(radices, "forward", True)
 
+    kw = {}
+    if args.kloop_width:
+        kw["kloop_width"] = args.kloop_width
     run = lambda a, b: fused_pallas.fused_fft(
         a, b, radices=radices, scales=scales, sign=-1, algorithm="bf16",
-        interpret=False, state_dtype=args.state_dtype)
+        interpret=False, state_dtype=args.state_dtype,
+        lane_tile=args.lane_tile, **kw)
 
     result = {"n": n, "radices": list(radices),
               "state_dtype": args.state_dtype, "vmem_mib": args.vmem_mib,
-              "batch": batch}
+              "batch": batch, "lane_tile": args.lane_tile,
+              "kloop_width": args.kloop_width or "default"}
     try:
         o_re, o_im = run(re, im)
         o_re.block_until_ready()

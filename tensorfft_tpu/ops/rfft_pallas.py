@@ -12,28 +12,43 @@ kernels where every structural movement is either a constant permutation
 matmul on the (otherwise idle) MXU or a DMA-blocked store:
 
   * pack:       (B, 2M) real -> even/odd planes (B, M).  Lane deinterleave
-                via two (2L, L) 0/1 selection matrices per lane tile.
+                via a (2L, 2L) merged selection matrix [P_even | P_odd].
   * untangle:   half-length spectrum Z (B, M) -> R2C spectrum X (B, M+1).
                 The spectral reversal V[k] = conj(Z[(M-k) mod M]) is resolved
-                per output lane block j from three block streams of Z —
-                block j (U), block (Mb-j) % Mb (contributes lane 0 of V) and
-                block (Mb-j-1) % Mb (contributes lanes 1..L-1, reversed) —
-                so the lane flip is one constant (L, L) exchange-with-shift
-                matmul and the lane-0 injection one one-hot matmul; no roll,
-                no gather, no concat.  The Nyquist bin M is a closed form of
-                Z[0] written by the final (partial) grid block.
+                per output lane sub-block g from three streams of Z — sub g
+                (U), sub (Mb-g) % Mb (contributes lane 0 of V) and sub
+                (Mb-g-1) % Mb (contributes lanes 1..L-1, reversed) — so the
+                lane flip + lane-0 injection is ONE constant (2L, L)
+                merged matmul [J_shift; E_00]; no roll, no gather, no
+                concat in HBM.  The Nyquist bin M is a closed form of Z[0]
+                written by the final (partial) grid block.
   * retangle:   X (B, M+1) -> Z (B, M), the inverse pairing (same three-
-                stream structure; the reversal reads X[M - jL - l], reaching
-                the partial block M/L only through its lane 0).
+                stream structure; the reversal reads X[M - g*L - l],
+                reaching the partial block M/L only through its lane 0).
   * interleave: even/odd planes (B, M) -> (B, 2M) real (transpose of pack).
 
-Permutation matmuls are EXACT: bf16 operands pass through the MXU unrounded
-(0/1 matrix, one nonzero per column, fp32 accumulate), and fp32 operands use
-the 3-term bitmask split (ops/dots.split_bf16 — 8+8+8 mantissa bits covers
-fp32's 24), each term again exact under the 0/1 matrix.  Upcasts commute
-with permutations, so results are bit-identical to the plain-XLA
-formulations in rfft.py, which remain the fallback for tiny shapes and
-non-TPU backends.
+Performance structure (second iteration — the first ran each lt-sub-block as
+its own grid step and its own matmuls, which at batch 16 used 16 of the
+MXU's 128 rows and paid per-step DMA issue overhead over 1000+ grid steps,
+measuring ~4x over the HBM floor at N=2^20/b=16):
+
+  * K sub-blocks are processed per grid step (big blocks of K*lt lanes) —
+    grid length drops K-fold and the three streams collapse to ~2x input
+    reads (the reversed stream's K sub-needs are one contiguous big block;
+    the lane-0 stream needs only one extra lt-block per step).
+  * All K sub-blocks x {re, im} are stacked along SUBLANES into one
+    (2K*bt, 2lt) operand and pushed through ONE merged matmul per grid
+    step — sublane stacking of aligned (bt, lt) tiles is cheap VPU
+    placement, and the row count restores full MXU occupancy at small
+    batch.
+
+Permutation matmuls are EXACT: every merged matrix still has at most one
+nonzero per output column, so bf16 operands pass through the MXU unrounded
+(fp32 accumulate, no actual additions), and fp32 operands use the 4-term
+bitmask split (ops/dots.split_bf16), each term again exact under the 0/1
+matrix.  Upcasts commute with permutations, so results are bit-identical to
+the plain-XLA formulations in rfft.py, which remain the fallback for tiny
+shapes and non-TPU backends.
 """
 from __future__ import annotations
 
@@ -52,19 +67,38 @@ from tensorfft_tpu.utils.device import KERNEL_VMEM_LIMIT_BYTES
 __all__ = ["pack_split", "interleave_split", "untangle_fwd", "retangle_inv",
            "epilogue_supported"]
 
+#: matmul granularity (lanes) — one native lane tile pair; the permutation
+#: MAC count scales linearly with this, so small is fast.
+LANE_TILE = 256
+#: target big-block width in lanes (amortizes grid-step DMA issue overhead).
+LANE_BLOCK_TARGET = 4096
+#: cap on stacked matmul rows (2*K*bt for untangle/retangle, K*bt for
+#: pack/interleave) — past full MXU occupancy more K only grows VMEM temps.
+MAX_STACK_ROWS = 1024
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def epilogue_supported(m: int, lane_tile: int = 512) -> bool:
+def epilogue_supported(m: int, lane_tile: int = LANE_TILE) -> bool:
     """Whether the Pallas epilogue kernels can handle half-length ``m``."""
     lt = min(lane_tile, m)
     return m >= 128 and m % lt == 0
 
 
+def _subs_per_step(m: int, lt: int, bt: int, planes: int) -> int:
+    """K: sub-blocks per grid step (see module docstring)."""
+    k = max(1, min(LANE_BLOCK_TARGET // lt,
+                   m // lt,
+                   MAX_STACK_ROWS // max(planes * bt, 1)))
+    while m % (k * lt):
+        k -= 1
+    return k
+
+
 def _permute_dot(x, p):
-    """x @ p for a 0/1 permutation-like matrix p — exact in x's values.
+    """x @ p for a 0/1 single-nonzero-per-column matrix p — exact in x.
 
     bf16 x: one MXU pass (bf16 operands are consumed unrounded, fp32
     accumulate).  fp32 x: 4-term bitmask split of the DATA side (each mask
@@ -84,30 +118,34 @@ def _permute_dot(x, p):
 
 
 @functools.lru_cache(maxsize=None)
-def _even_odd_tables(lt: int):
-    """(2L, L) selection matrices: P_e picks even lanes, P_o odd lanes."""
-    pe = np.zeros((2 * lt, lt), np.float32)
-    po = np.zeros((2 * lt, lt), np.float32)
+def _pack_table(lt: int):
+    """(2L, 2L) merged selection matrix [P_even | P_odd]."""
+    pm = np.zeros((2 * lt, 2 * lt), np.float32)
     idx = np.arange(lt)
-    pe[2 * idx, idx] = 1.0
-    po[2 * idx + 1, idx] = 1.0
-    return pe, po
+    pm[2 * idx, idx] = 1.0            # even lanes -> re columns 0..L-1
+    pm[2 * idx + 1, lt + idx] = 1.0   # odd lanes  -> im columns L..2L-1
+    return pm
 
 
 @functools.lru_cache(maxsize=None)
-def _rev_tables(lt: int):
-    """(L, L) matrices for the shifted lane reversal (see module docstring).
+def _interleave_table(lt: int):
+    """(2L, 2L) transpose pairing: rows [re; im] -> interleaved lanes."""
+    return _pack_table(lt).T.copy()
 
-    JP[L - l, l] = 1 for l = 1..L-1 (column 0 empty): B_blk @ JP places
-    B_blk[:, L - l] at lane l.  E[0, 0] = 1: A_blk @ E places A_blk[:, 0]
-    at lane 0.  Their sum is the reversed stream V for one output block.
+
+@functools.lru_cache(maxsize=None)
+def _rev_table(lt: int):
+    """(2L, L) merged shifted-reversal matrix [J_shift; E_00].
+
+    Operand rows are the lane-concat [B_sub | A_sub]: J_shift places
+    B_sub[:, L - l] at lane l for l = 1..L-1 (column 0 empty), E_00 places
+    A_sub[:, 0] at lane 0.  One nonzero per column -> exact.
     """
-    jp = np.zeros((lt, lt), np.float32)
+    pm = np.zeros((2 * lt, lt), np.float32)
     l = np.arange(1, lt)
-    jp[lt - l, l] = 1.0
-    e = np.zeros((lt, lt), np.float32)
-    e[0, 0] = 1.0
-    return jp, e
+    pm[lt - l, l] = 1.0
+    pm[lt, 0] = 1.0
+    return pm
 
 
 def _batch_pad(arrs, dtype):
@@ -132,14 +170,27 @@ def _table_spec(a):
                         memory_space=pltpu.VMEM)
 
 
-def _pack_kernel(x_ref, pe_ref, po_ref, re_ref, im_ref):
-    x = x_ref[:]
-    re_ref[:] = _permute_dot(x, pe_ref[:]).astype(re_ref.dtype)
-    im_ref[:] = _permute_dot(x, po_ref[:]).astype(im_ref.dtype)
+def _stack_rows(blocks):
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+
+
+def _cat_lanes(blocks):
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+
+
+def _pack_kernel(x_ref, pm_ref, re_ref, im_ref, *, k, lt):
+    bt = x_ref.shape[0]
+    stacked = _stack_rows([x_ref[:, s * 2 * lt:(s + 1) * 2 * lt]
+                           for s in range(k)])
+    res = _permute_dot(stacked, pm_ref[:])
+    re_ref[:] = _cat_lanes([res[s * bt:(s + 1) * bt, :lt]
+                            for s in range(k)]).astype(re_ref.dtype)
+    im_ref[:] = _cat_lanes([res[s * bt:(s + 1) * bt, lt:]
+                            for s in range(k)]).astype(im_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("lane_tile", "interpret"))
-def pack_split(x, *, lane_tile: int = 512, interpret: bool | None = None
+def pack_split(x, *, lane_tile: int = LANE_TILE, interpret: bool | None = None
                ) -> Tuple[jax.Array, jax.Array]:
     """(B, 2M) real -> even/odd planes (B, M), each in x's dtype.
 
@@ -153,17 +204,18 @@ def pack_split(x, *, lane_tile: int = 512, interpret: bool | None = None
     lt = min(lane_tile, m)
     (x,), b0, b = _batch_pad([x], x.dtype)
     bt = _batch_tile(b)
-    pe, po = _even_odd_tables(lt)
-    tables = [jnp.asarray(pe), jnp.asarray(po)]
-    grid = (b // bt, m // lt)
-    out_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, j),
+    k = _subs_per_step(m, lt, bt, planes=1)
+    L = k * lt
+    pm = jnp.asarray(_pack_table(lt))
+    grid = (b // bt, m // L)
+    out_spec = pl.BlockSpec((bt, L), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pack_kernel, k=k, lt=lt)
     re, im = pl.pallas_call(
-        _pack_kernel,
+        kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((bt, 2 * lt), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM)]
-        + [_table_spec(a) for a in tables],
+        in_specs=[pl.BlockSpec((bt, 2 * L), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM), _table_spec(pm)],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((b, m), x.dtype),
                    jax.ShapeDtypeStruct((b, m), x.dtype)),
@@ -173,23 +225,29 @@ def pack_split(x, *, lane_tile: int = 512, interpret: bool | None = None
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * m * lt,
+            flops=8 * b * m * lt,
             bytes_accessed=4 * b * m * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, *tables)
+    )(x, pm)
     if b != b0:
         re, im = re[:b0], im[:b0]
     return re, im
 
 
-def _interleave_kernel(re_ref, im_ref, te_ref, to_ref, x_ref):
-    x_ref[:] = (_permute_dot(re_ref[:], te_ref[:])
-                + _permute_dot(im_ref[:], to_ref[:])).astype(x_ref.dtype)
+def _interleave_kernel(re_ref, im_ref, pm_ref, x_ref, *, k, lt):
+    bt = re_ref.shape[0]
+    stacked = _stack_rows([
+        jnp.concatenate([re_ref[:, s * lt:(s + 1) * lt],
+                         im_ref[:, s * lt:(s + 1) * lt]], axis=1)
+        for s in range(k)])
+    res = _permute_dot(stacked, pm_ref[:])
+    x_ref[:] = _cat_lanes([res[s * bt:(s + 1) * bt]
+                           for s in range(k)]).astype(x_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("lane_tile", "interpret"))
-def interleave_split(re, im, *, lane_tile: int = 512,
+def interleave_split(re, im, *, lane_tile: int = LANE_TILE,
                      interpret: bool | None = None) -> jax.Array:
     """Even/odd planes (B, M) -> (B, 2M) real; transpose of pack_split."""
     if interpret is None:
@@ -198,16 +256,18 @@ def interleave_split(re, im, *, lane_tile: int = 512,
     lt = min(lane_tile, m)
     (re, im), b0, b = _batch_pad([re, im], re.dtype)
     bt = _batch_tile(b)
-    pe, po = _even_odd_tables(lt)
-    tables = [jnp.asarray(pe.T.copy()), jnp.asarray(po.T.copy())]
-    grid = (b // bt, m // lt)
-    in_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, j),
+    k = _subs_per_step(m, lt, bt, planes=1)
+    L = k * lt
+    pm = jnp.asarray(_interleave_table(lt))
+    grid = (b // bt, m // L)
+    in_spec = pl.BlockSpec((bt, L), lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_interleave_kernel, k=k, lt=lt)
     x = pl.pallas_call(
-        _interleave_kernel,
+        kernel,
         grid=grid,
-        in_specs=[in_spec, in_spec] + [_table_spec(a) for a in tables],
-        out_specs=pl.BlockSpec((bt, 2 * lt), lambda i, j: (i, j),
+        in_specs=[in_spec, in_spec, _table_spec(pm)],
+        out_specs=pl.BlockSpec((bt, 2 * L), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2 * m), re.dtype),
         interpret=interpret,
@@ -220,20 +280,49 @@ def interleave_split(re, im, *, lane_tile: int = 512,
             bytes_accessed=4 * b * m * re.dtype.itemsize,
             transcendentals=0,
         ),
-    )(re, im, *tables)
+    )(re, im, pm)
     return x[:b0] if b != b0 else x
 
 
-def _untangle_kernel(u_re_ref, u_im_ref, a_re_ref, a_im_ref,
-                     b_re_ref, b_im_ref, w_re_ref, w_im_ref,
-                     jp_ref, e_ref, o_re_ref, o_im_ref, *, mb, scale):
+def _reversed_stream(b_re_ref, b_im_ref, a_re, a_im, pm_ref, *, k, lt):
+    """Assemble V-perm for a big block: ONE stacked merged matmul.
+
+    Per output sub s (global sub g = j*K + s): lanes 1.. come from the
+    reversed-stream big block's local sub (K-1-s); lane 0 comes from
+    ``a`` for s == 0 and from the big block's local sub (K-s) otherwise.
+    Returns fp32 (re, im) big blocks of shape (bt, K*lt) — sign handling
+    (conj) is the caller's.
+    """
+    bt = b_re_ref.shape[0]
+    rows = []
+    for s in range(k):
+        b_re_s = b_re_ref[:, (k - 1 - s) * lt:(k - s) * lt]
+        b_im_s = b_im_ref[:, (k - 1 - s) * lt:(k - s) * lt]
+        if s == 0:
+            a_re_s, a_im_s = a_re, a_im
+        else:
+            a_re_s = b_re_ref[:, (k - s) * lt:(k - s + 1) * lt]
+            a_im_s = b_im_ref[:, (k - s) * lt:(k - s + 1) * lt]
+        rows.append(jnp.concatenate([b_re_s, a_re_s], axis=1))
+        rows.append(jnp.concatenate([b_im_s, a_im_s], axis=1))
+    stacked = _stack_rows(rows)                      # (2K*bt, 2lt)
+    res = _permute_dot(stacked, pm_ref[:])           # (2K*bt, lt) fp32
+    v_re = _cat_lanes([res[2 * s * bt:(2 * s + 1) * bt] for s in range(k)])
+    v_im = _cat_lanes([res[(2 * s + 1) * bt:(2 * s + 2) * bt]
+                       for s in range(k)])
+    return v_re, v_im
+
+
+def _untangle_kernel(u_re_ref, u_im_ref, b_re_ref, b_im_ref,
+                     a_re_ref, a_im_ref, w_re_ref, w_im_ref,
+                     pm_ref, o_re_ref, o_im_ref, *, k, lt, mbk, scale):
     j = pl.program_id(1)
-    # Reversed stream V[k] = conj(Z[(M-k) mod M]) for this block's lanes
+    # Reversed stream V[k] = conj(Z[(M-k) mod M]) for this big block
     # (exact permutes on the storage values, then upcast — commutes).
-    v_re = (_permute_dot(b_re_ref[:], jp_ref[:])
-            + _permute_dot(a_re_ref[:], e_ref[:]))
-    v_im = -(_permute_dot(b_im_ref[:], jp_ref[:])
-             + _permute_dot(a_im_ref[:], e_ref[:]))
+    v_re, v_im = _reversed_stream(b_re_ref, b_im_ref,
+                                  a_re_ref[:], a_im_ref[:], pm_ref,
+                                  k=k, lt=lt)
+    v_im = -v_im
     u_re = u_re_ref[:].astype(jnp.float32)
     u_im = u_im_ref[:].astype(jnp.float32)
     w_re = w_re_ref[:]
@@ -245,12 +334,12 @@ def _untangle_kernel(u_re_ref, u_im_ref, a_re_ref, a_im_ref,
     c_im = -(w_re * b_re - w_im * b_im)
     out_re = (a_re + c_re) * scale
     out_im = (a_im + c_im) * scale
-    # Final (partial) block: bin M = 2*scale*(Re Z0 - Im Z0) in lane 0.
-    # Its A stream is block (mb - mb) % mb = 0, so A[:, 0] = Z[:, 0].
+    # Final (partial) big block: bin M = 2*scale*(Re Z0 - Im Z0) in lane 0.
+    # Its lane-0 stream is sub (mb - mbk*K) % mb = 0, so A[:, 0] = Z[:, 0].
     nyq = 2.0 * scale * (a_re_ref[:, 0:1].astype(jnp.float32)
                          - a_im_ref[:, 0:1].astype(jnp.float32))
     lane0 = jax.lax.broadcasted_iota(jnp.int32, out_re.shape, 1) == 0
-    is_last = j == mb
+    is_last = j == mbk
     out_re = jnp.where(is_last, jnp.where(lane0, nyq, 0.0), out_re)
     out_im = jnp.where(is_last, 0.0, out_im)
     o_re_ref[:] = out_re.astype(o_re_ref.dtype)
@@ -267,8 +356,8 @@ def _pack_phase_tables(n: int, sign: int, lt: int, blocks: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "scale", "lane_tile", "interpret"))
-def untangle_fwd(z_re, z_im, *, n: int, scale: float, lane_tile: int = 512,
-                 interpret: bool | None = None
+def untangle_fwd(z_re, z_im, *, n: int, scale: float,
+                 lane_tile: int = LANE_TILE, interpret: bool | None = None
                  ) -> Tuple[jax.Array, jax.Array]:
     """Half-length spectrum Z (B, M) -> R2C spectrum X (B, M+1).
 
@@ -284,28 +373,34 @@ def untangle_fwd(z_re, z_im, *, n: int, scale: float, lane_tile: int = 512,
     mb = m // lt
     (z_re, z_im), b0, b = _batch_pad([z_re, z_im], z_re.dtype)
     bt = _batch_tile(b)
-    w_re, w_im = _pack_phase_tables(n, -1, lt, mb + 1)
-    jp, e = _rev_tables(lt)
-    tables = [jnp.asarray(jp), jnp.asarray(e)]
+    k = _subs_per_step(m, lt, bt, planes=2)
+    L = k * lt
+    mbk = m // L
+    w_re, w_im = _pack_phase_tables(n, -1, L, mbk + 1)
+    pm = jnp.asarray(_rev_table(lt))
 
-    grid = (b // bt, mb + 1)
-    u_spec = pl.BlockSpec((bt, lt),
-                          lambda i, j: (i, jnp.minimum(j, mb - 1)),
+    grid = (b // bt, mbk + 1)
+    u_spec = pl.BlockSpec((bt, L),
+                          lambda i, j: (i, jnp.minimum(j, mbk - 1)),
                           memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, (mb - j) % mb),
+    # reversed stream: output subs [jK, jK+K) need Z subs
+    # [mb-jK-K, mb-jK-1] (one contiguous big block) ...
+    b_spec = pl.BlockSpec((bt, L), lambda i, j: (i, (mbk - j - 1) % mbk),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, (mb - j - 1) % mb),
+    # ... plus Z sub (mb - jK) % mb alone (lane 0 of the s == 0 sub).
+    a_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, (mb - j * k) % mb),
                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((1, lt), lambda i, j: (0, j),
+    w_spec = pl.BlockSpec((1, L), lambda i, j: (0, j),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, j),
+    out_spec = pl.BlockSpec((bt, L), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    kernel = functools.partial(_untangle_kernel, mb=mb, scale=float(scale))
+    kernel = functools.partial(_untangle_kernel, k=k, lt=lt, mbk=mbk,
+                               scale=float(scale))
     o_re, o_im = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[u_spec, u_spec, a_spec, a_spec, b_spec, b_spec,
-                  w_spec, w_spec] + [_table_spec(a) for a in tables],
+        in_specs=[u_spec, u_spec, b_spec, b_spec, a_spec, a_spec,
+                  w_spec, w_spec, _table_spec(pm)],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((b, m + 1), z_re.dtype),
                    jax.ShapeDtypeStruct((b, m + 1), z_im.dtype)),
@@ -316,31 +411,28 @@ def untangle_fwd(z_re, z_im, *, n: int, scale: float, lane_tile: int = 512,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * m * lt,
-            bytes_accessed=8 * b * m * z_re.dtype.itemsize,
+            bytes_accessed=6 * b * m * z_re.dtype.itemsize,
             transcendentals=0,
         ),
-    )(z_re, z_im, z_re, z_im, z_re, z_im, w_re, w_im, *tables)
+    )(z_re, z_im, z_re, z_im, z_re, z_im, w_re, w_im, pm)
     if b != b0:
         o_re, o_im = o_re[:b0], o_im[:b0]
     return o_re, o_im
 
 
-def _retangle_kernel(u_re_ref, u_im_ref, a_re_ref, a_im_ref,
-                     b_re_ref, b_im_ref, w_re_ref, w_im_ref,
-                     jp_ref, e_ref, o_re_ref, o_im_ref, *, scale):
-    # Reversed stream conj(X[M - jL - l]): lane 0 from block (mb - j)'s
-    # lane 0 (block mb is the partial Nyquist block), lanes 1.. from block
-    # (mb - j - 1) reversed.  The A block's lanes past 0 are unused — and at
-    # block mb they are OUT OF BOUNDS (pad garbage, NaN in interpret mode),
-    # which would poison the 0-weighted matmul columns (NaN * 0 = NaN) —
-    # so they are select-masked to zero before the dot.
+def _retangle_kernel(u_re_ref, u_im_ref, b_re_ref, b_im_ref,
+                     a_re_ref, a_im_ref, w_re_ref, w_im_ref,
+                     pm_ref, o_re_ref, o_im_ref, *, k, lt, scale):
+    # The lane-0 stream block can be the PARTIAL Nyquist block (at j = 0 it
+    # reads X subs [m, m+lt), of which only lane 0 exists) — its pad-garbage
+    # lanes would poison the 0-weighted matmul columns if NaN, so mask them.
     a_lane0 = jax.lax.broadcasted_iota(jnp.int32, a_re_ref.shape, 1) == 0
     a_re = jnp.where(a_lane0, a_re_ref[:], 0).astype(a_re_ref.dtype)
     a_im = jnp.where(a_lane0, a_im_ref[:], 0).astype(a_im_ref.dtype)
-    r_re = (_permute_dot(b_re_ref[:], jp_ref[:])
-            + _permute_dot(a_re, e_ref[:]))
-    r_im = -(_permute_dot(b_im_ref[:], jp_ref[:])
-             + _permute_dot(a_im, e_ref[:]))
+    # Reversed stream conj(X[M - g*lt - l]) per sub g.
+    r_re, r_im = _reversed_stream(b_re_ref, b_im_ref, a_re, a_im, pm_ref,
+                                  k=k, lt=lt)
+    r_im = -r_im
     x_re = u_re_ref[:].astype(jnp.float32)
     x_im = u_im_ref[:].astype(jnp.float32)
     w_re = w_re_ref[:]
@@ -358,12 +450,12 @@ def _retangle_kernel(u_re_ref, u_im_ref, a_re_ref, a_im_ref,
                    static_argnames=("n", "scale", "out_dtype", "lane_tile",
                                     "interpret"))
 def retangle_inv(re, im, *, n: int, scale: float, out_dtype,
-                 lane_tile: int = 512, interpret: bool | None = None
+                 lane_tile: int = LANE_TILE, interpret: bool | None = None
                  ) -> Tuple[jax.Array, jax.Array]:
     """R2C spectrum X (B, M+1) -> half-length spectrum Z (B, M).
 
     Inverse pairing of untangle_fwd (rfft._retangle_inv), same three-stream
-    block structure; the A stream's block mb read is the partial Nyquist
+    block structure; the lane-0 stream's j = 0 read is the partial Nyquist
     block, consumed only through its lane 0.
     """
     if interpret is None:
@@ -375,27 +467,32 @@ def retangle_inv(re, im, *, n: int, scale: float, out_dtype,
     mb = m // lt
     (re, im), b0, b = _batch_pad([re, im], re.dtype)
     bt = _batch_tile(b)
-    w_re, w_im = _pack_phase_tables(n, +1, lt, mb)
-    jp, e = _rev_tables(lt)
-    tables = [jnp.asarray(jp), jnp.asarray(e)]
+    k = _subs_per_step(m, lt, bt, planes=2)
+    L = k * lt
+    mbk = m // L
+    w_re, w_im = _pack_phase_tables(n, +1, L, mbk)
+    pm = jnp.asarray(_rev_table(lt))
 
-    grid = (b // bt, mb)
-    u_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, j),
+    grid = (b // bt, mbk)
+    u_spec = pl.BlockSpec((bt, L), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, mb - j),
+    # reversal needs X subs [mb-jK-K, mb-jK-1] (contiguous big block) plus
+    # sub (mb - jK) alone (partial Nyquist block at j = 0, lane 0 only).
+    b_spec = pl.BlockSpec((bt, L), lambda i, j: (i, mbk - j - 1),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, mb - j - 1),
+    a_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, mb - j * k),
                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((1, lt), lambda i, j: (0, j),
+    w_spec = pl.BlockSpec((1, L), lambda i, j: (0, j),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bt, lt), lambda i, j: (i, j),
+    out_spec = pl.BlockSpec((bt, L), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    kernel = functools.partial(_retangle_kernel, scale=float(scale))
+    kernel = functools.partial(_retangle_kernel, k=k, lt=lt,
+                               scale=float(scale))
     o_re, o_im = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[u_spec, u_spec, a_spec, a_spec, b_spec, b_spec,
-                  w_spec, w_spec] + [_table_spec(a) for a in tables],
+        in_specs=[u_spec, u_spec, b_spec, b_spec, a_spec, a_spec,
+                  w_spec, w_spec, _table_spec(pm)],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((b, m), jnp.dtype(out_dtype)),
                    jax.ShapeDtypeStruct((b, m), jnp.dtype(out_dtype))),
@@ -406,10 +503,10 @@ def retangle_inv(re, im, *, n: int, scale: float, out_dtype,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * m * lt,
-            bytes_accessed=8 * b * m * re.dtype.itemsize,
+            bytes_accessed=6 * b * m * re.dtype.itemsize,
             transcendentals=0,
         ),
-    )(re, im, re, im, re, im, w_re, w_im, *tables)
+    )(re, im, re, im, re, im, w_re, w_im, pm)
     if b != b0:
         o_re, o_im = o_re[:b0], o_im[:b0]
     return o_re, o_im
