@@ -104,6 +104,10 @@ def main():
         (r1,), (scales[0],), -1, "bf16", False)
     tables_full = fused_pallas.stage_table_arrays(
         radices, scales, -1, "bf16", False)
+    tables_g = fused_pallas.stage_table_arrays(
+        radices, scales, -1, "bf16", True)
+    tables_g3 = fused_pallas.stage_table_arrays(
+        radices, scales, -1, "bf16", True, complex_mult="mult3")
 
     def s1_kernel(*refs):
         re_ref, im_ref = refs[0], refs[1]
@@ -321,6 +325,59 @@ def main():
 
         return kernel
 
+    def make_grouped_custom(mode, mult3=False):
+        """Attribution variants under the GROUPED stage-2 structure (the
+        round-3 headline winner): stage 1 production, stage 2 via the
+        twiddle-folded per-slice tables with a mechanism stripped.
+
+          g_movement    matmuls skipped, data paths kept (slice gather,
+                        output stack)                      -> matmul cost
+          g_nostack     outputs concatenated kk-major (timing-only order)
+                        instead of the K-way interleave    -> interleave cost
+        With mult3=True the stage-2 tables/ops are the (3R, R) mult3 fold.
+        """
+
+        def kernel(*refs):
+            re_ref, im_ref = refs[0], refs[1]
+            o_re, o_im = refs[-2], refs[-1]
+            bd1, g_tab_r = refs[2], refs[3]
+            state = jnp.stack([re_ref[:], im_ref[:]])
+            state, _ = fused_pallas.stage_loop(
+                state, [bd1], (r1,), "bf16", n, t)
+            g_tab = g_tab_r[:]
+            zv = state.reshape(2, k, r2, mt)
+            outs = []
+            for g in range(k):
+                if mult3:
+                    zr, zi = zv[0, g], zv[1, g]
+                    if mode == "movement":
+                        out_g = jnp.stack([zr + zi, zr - zi])
+                    else:
+                        m_re = g_tab[g, :r2]
+                        m_im = g_tab[g, r2:2 * r2]
+                        m_sum = g_tab[g, 2 * r2:]
+                        t1 = dots.dot(m_re, zr, "bf16")
+                        t2 = dots.dot(m_im, zi, "bf16")
+                        t3 = dots.dot(m_sum, zr + zi, "bf16")
+                        out_g = jnp.stack([t1 - t2, t3 - t1 - t2])
+                else:
+                    zg = zv[:, g].reshape(2 * r2, mt)
+                    if mode == "movement":
+                        out_g = zg
+                    else:
+                        out_g = dots.dot(g_tab[g], zg, "bf16")
+                    out_g = out_g.reshape(2, r2, mt)
+                outs.append(out_g)
+            if mode == "nostack":
+                out = jnp.concatenate(outs, axis=1)  # kk-major: timing only
+            else:
+                out = jnp.stack(outs, axis=2)
+            state = out.reshape(2, r2 * k, mt)
+            o_re[:] = state[0].reshape(n, t).astype(o_re.dtype)
+            o_im[:] = state[1].reshape(n, t).astype(o_im.dtype)
+
+        return kernel
+
     import functools
 
     def prod(**kw):
@@ -362,6 +419,22 @@ def main():
         "gridslice": lambda: make_gridslice(),
         "gridslice_b16": lambda: make_gridslice(jnp.bfloat16),
         "gridslice16": lambda: make_gridslice(g8=16),
+        # Grouped-structure attribution (round-4: the winner is grouped).
+        "g_block": lambda: prod(complex_mult="block", grouped=True),
+        "g_m3": lambda: prod(complex_mult="mult3", grouped=True),
+        "g_full": lambda: call(make_grouped_custom("full"), tables_g),
+        "g_movement": lambda: call(make_grouped_custom("movement"), tables_g),
+        "g_nostack": lambda: call(make_grouped_custom("nostack"), tables_g),
+        "g_m3_full": lambda: call(make_grouped_custom("full", True),
+                                  tables_g3),
+        "g_m3_movement": lambda: call(make_grouped_custom("movement", True),
+                                      tables_g3),
+        "g_m3_nostack": lambda: call(make_grouped_custom("nostack", True),
+                                     tables_g3),
+        "g_gridslice": lambda: prod(engine="gridslice", grouped=True),
+        "g_gridslice16": lambda: prod(engine="gridslice16", grouped=True),
+        "g_m3_gridslice": lambda: prod(engine="gridslice", grouped=True,
+                                       complex_mult="mult3"),
     }
     if args.variants:
         keep = set(args.variants.split(","))

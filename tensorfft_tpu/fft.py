@@ -122,6 +122,30 @@ def _fft_split_jit(re, im, plan: FFTPlan, forward: bool):
     return out_re.astype(storage), out_im.astype(storage)
 
 
+def four_step_call_kwargs(plan: FFTPlan, forward: bool) -> dict:
+    """Static kwargs for the ops/four_step_pallas entry points of ``plan``.
+
+    Shared by the C2C dispatch below and the R2C/C2R fused-epilogue paths
+    (rfft.py) so every four-step call site consumes the tuned plan knobs
+    identically."""
+    n1, n2 = plan.four_step_split
+    return dict(
+        n1=n1, n2=n2,
+        radices1=plan.col_radices, radices2=plan.row_radices,
+        scales1=stage_scales(plan.col_radices, plan.scaling, forward),
+        scales2=stage_scales(plan.row_radices, plan.scaling, forward),
+        sign=dft.FORWARD if forward else dft.INVERSE,
+        lane_tile=plan.lane_tile,
+        algorithm=plan.precision.dot_algorithm,
+        grouped=plan.grouped,
+        state_dtype=plan.state_dtype,
+        complex_mult=plan.complex_mult,
+        first_dot=plan.first_dot,
+        engine=plan.engine,
+        k1_tile=plan.k1_tile,
+    )
+
+
 def _fft_split_core(re, im, plan, forward):
     batch_shape = re.shape[:-1]
     n = re.shape[-1]
@@ -132,22 +156,9 @@ def _fft_split_core(re, im, plan, forward):
         # the kernels' block specs (ops/four_step_pallas.py).
         from tensorfft_tpu.ops import four_step_pallas
 
-        n1, n2 = plan.four_step_split
-        sign = dft.FORWARD if forward else dft.INVERSE
         out_re, out_im = four_step_pallas.four_step_fft(
             re.reshape(b, n), im.reshape(b, n),
-            n1=n1, n2=n2,
-            radices1=plan.col_radices, radices2=plan.row_radices,
-            scales1=stage_scales(plan.col_radices, plan.scaling, forward),
-            scales2=stage_scales(plan.row_radices, plan.scaling, forward),
-            sign=sign, lane_tile=plan.lane_tile,
-            algorithm=plan.precision.dot_algorithm,
-            grouped=plan.grouped,
-            state_dtype=plan.state_dtype,
-            complex_mult=plan.complex_mult,
-            first_dot=plan.first_dot,
-            engine=plan.engine,
-            k1_tile=plan.k1_tile,
+            **four_step_call_kwargs(plan, forward),
         )
         return (
             out_re.reshape(*batch_shape, n),

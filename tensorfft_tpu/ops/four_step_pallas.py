@@ -45,7 +45,7 @@ from tensorfft_tpu.ops.fused_pallas import (
 
 
 def _pass_tables(radices, scales, sign, algorithm, grouped, engine,
-                 first_dot="default"):
+                 first_dot="default", complex_mult="block"):
     """Stage tables for one pass under the selected in-VMEM engine."""
     if engine in ("planar", "planar_vpu"):
         return planar_stage_tables(radices, scales, sign, algorithm,
@@ -53,7 +53,8 @@ def _pass_tables(radices, scales, sign, algorithm, grouped, engine,
                                    first_dot=first_dot)
     return stage_table_arrays(radices, scales, sign, algorithm, grouped,
                               first_dot=first_dot,
-                              pretwiddle=(engine == "pretwiddle"))
+                              pretwiddle=(engine == "pretwiddle"),
+                              complex_mult=complex_mult)
 
 
 def _run_stages(state_re, state_im, table_refs, radices, algorithm, n, t,
@@ -380,7 +381,8 @@ def four_step_fft(
     p_tab = jnp.asarray(pq.copy())
     q_tab = jnp.asarray(qq.copy())
     tables1 = _pass_tables(radices1, scales1, sign, algorithm, grouped,
-                           engine, first_dot=first_dot)
+                           engine, first_dot=first_dot,
+                           complex_mult=complex_mult)
 
     if use_gs1:
         re4 = re3.reshape(b, r_last1, s1_total, n2)
@@ -468,7 +470,8 @@ def four_step_fft(
 
     # Pass K2.
     tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped,
-                           engine, first_dot=first_dot)
+                           engine, first_dot=first_dot,
+                           complex_mult=complex_mult)
     if engine.startswith("gridslice"):
         # Deferred-interleave row pass (see _row_kernel_gridslice).  Falls
         # back to the stacked row pass when the plan shape cannot emit whole
@@ -611,7 +614,7 @@ def fft2_fused(
     bt2 = batch_tile(kh_tile * w)
 
     tables1 = _pass_tables(radices1, scales1, sign, algorithm, grouped1,
-                           engine)
+                           engine, complex_mult=complex_mult)
     data_spec1 = pl.BlockSpec(
         (bt1, h, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
@@ -642,7 +645,7 @@ def fft2_fused(
     )(re, im, *tables1)
 
     tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped2,
-                           engine)
+                           engine, complex_mult=complex_mult)
     in_spec2 = pl.BlockSpec(
         (bt2, kh_tile, w), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
     )
@@ -719,7 +722,8 @@ def fused_fft_batch_major(
     row_tile = rt
 
     tables = _pass_tables(radices, scales, sign, algorithm, grouped,
-                          engine, first_dot=first_dot)
+                          engine, first_dot=first_dot,
+                          complex_mult=complex_mult)
     in_spec = pl.BlockSpec(
         (row_tile, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM
     )
@@ -761,3 +765,462 @@ def fused_fft_batch_major(
             vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
         ),
     )(re, im, *tables)
+
+
+# ---------------------------------------------------------------------------
+# R2C/C2R epilogue fusion (BASELINE config 4, round-4).
+#
+# The standalone Pallas pack/interleave kernels (ops/rfft_pallas.py) fixed
+# the XLA structural-op pathology but remain separate HBM round trips: at
+# N=2^20/b=16 the four epilogue kernels cost ~2.8 ms against a ~0.5 ms
+# combined floor while the two half-length transforms cost ~0.9 ms (round-3
+# S10/e3c9ffe measurements).  Here the FORWARD pack (lane deinterleave of
+# the real input) rides the K1 column pass's input map, and the INVERSE
+# interleave rides the K2 row pass's output map — so the R2C pipeline pays
+# exactly the C2C pass count on those legs.  Both are constant permutation
+# matmuls (exact: bf16 operands pass the MXU unrounded; fp32 uses the
+# 4-term bitmask split), applied in the storage dtype, so results are
+# bit-identical to the standalone-kernel path.
+# ---------------------------------------------------------------------------
+
+
+def _col_kernel_packed(refs, radices, algorithm, n1, t, bt,
+                       grouped=False, state_dtype=jnp.float32,
+                       complex_mult="block", first_dot="default",
+                       engine="stacked"):
+    """Pass K1 reading INTERLEAVED REAL input: (bt, n1, 2T) blocks of
+    x.reshape(b, n1, 2*n2); z_re/z_im = even/odd lanes via one constant
+    (2T, 2T) permutation matmul per batch element (rfft half-length pack,
+    rfft.py:_deinterleave), then the standard column stages + four-step
+    twiddle."""
+    from tensorfft_tpu.ops import rfft_pallas
+
+    x_ref = refs[0]
+    p_ref, q_ref = refs[1], refs[2]
+    pm_ref = refs[3]
+    table_refs = refs[4:-2]
+    out_re_ref, out_im_ref = refs[-2], refs[-1]
+
+    p_t = p_ref[0].T  # (n1, 2)
+    p_re = p_t[:, 0:1]
+    p_im = p_t[:, 1:2]
+    w_re = p_re * q_ref[0] - p_im * q_ref[1]
+    w_im = p_re * q_ref[1] + p_im * q_ref[0]
+
+    for i in range(bt):
+        packed = rfft_pallas._permute_dot(x_ref[i], pm_ref[:])  # (n1, 2t) f32
+        z_re = packed[:, :t].astype(state_dtype)
+        z_im = packed[:, t:].astype(state_dtype)
+        s_re, s_im = _run_stages(
+            z_re, z_im, table_refs, radices, algorithm, n1, t, grouped,
+            state_dtype, complex_mult, engine, first_dot,
+        )
+        s_re = s_re.astype(jnp.float32)
+        s_im = s_im.astype(jnp.float32)
+        o_re = s_re * w_re - s_im * w_im
+        o_im = s_re * w_im + s_im * w_re
+        out_re_ref[i] = o_re.astype(out_re_ref.dtype)
+        out_im_ref[i] = o_im.astype(out_im_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
+        "lane_tile", "algorithm", "interpret", "grouped", "state_dtype",
+        "complex_mult", "first_dot", "engine", "k1_tile",
+    ),
+)
+def four_step_fft_packed_real(
+    x,
+    *,
+    n1: int,
+    n2: int,
+    radices1: Tuple[int, ...],
+    radices2: Tuple[int, ...],
+    scales1: Tuple[float, ...],
+    scales2: Tuple[float, ...],
+    sign: int = dft.FORWARD,
+    lane_tile: int = 128,
+    algorithm: str = "bf16",
+    interpret: bool | None = None,
+    grouped: bool = False,
+    state_dtype: str = "float32",
+    complex_mult: str = "block",
+    first_dot: str = "default",
+    engine: str = "stacked",
+    k1_tile: int = 128,
+):
+    """Four-step FFT of the HALF-LENGTH PACKED view of a real (B, 2N) array.
+
+    Equivalent to ``four_step_fft(x[..., 0::2], x[..., 1::2], ...)`` with the
+    lane deinterleave fused into K1's input map (zero extra HBM passes);
+    bit-identical to running ops/rfft_pallas.pack_split first.  Returns
+    (B, N) planes, N = n1 * n2.  K1 always runs the stacked packed kernel
+    (gridslice K1 falls back); K2 follows ``engine`` unchanged.
+    """
+    from tensorfft_tpu.ops import rfft_pallas
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if x.ndim != 2 or x.shape[1] != 2 * n1 * n2:
+        raise ValueError(
+            f"four_step_fft_packed_real expects (B, 2*n1*n2) real input, "
+            f"got {x.shape} for n1*n2 = {n1 * n2}"
+        )
+    b, _ = x.shape
+    n = n1 * n2
+    t = min(lane_tile, n2)
+    if n2 % t != 0:
+        raise ValueError(f"n2={n2} not divisible by lane tile {t}")
+    k1_tile = min(k1_tile, n1)
+    if min(t, k1_tile) < 128:
+        state_dtype = "float32"
+    sd = jnp.dtype(state_dtype)
+
+    def batch_tile(panel_elems: int) -> int:
+        target = max(1, (1 << 19) // max(panel_elems, 1))
+        bt = 1
+        while bt * 2 <= target and b % (bt * 2) == 0:
+            bt *= 2
+        return bt
+
+    bt1 = batch_tile(n1 * t)
+    bt2 = batch_tile(k1_tile * n2)
+
+    x3 = x.reshape(b, n1, 2 * n2)
+    p_re, p_im, q_re, q_im = dft.four_step_twiddle_factors(
+        n1, n2, t, dtype=np.float32, sign=sign
+    )
+    pq = np.stack([p_re, p_im]).transpose(2, 0, 1)
+    qq = np.stack([q_re, q_im])
+    p_tab = jnp.asarray(pq.copy())
+    q_tab = jnp.asarray(qq.copy())
+    pm = jnp.asarray(rfft_pallas._pack_table(t))
+    tables1 = _pass_tables(radices1, scales1, sign, algorithm, grouped,
+                           engine, first_dot=first_dot,
+                           complex_mult=complex_mult)
+
+    x_spec = pl.BlockSpec(
+        (bt1, n1, 2 * t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+    )
+    out_spec1 = pl.BlockSpec(
+        (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+    )
+    p_spec = pl.BlockSpec(
+        (1, 2, n1), lambda ib, it: (it, 0, 0), memory_space=pltpu.VMEM
+    )
+    q_spec = pl.BlockSpec(
+        (2, n1, t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    pm_spec = pl.BlockSpec(pm.shape, lambda ib, it: (0, 0),
+                           memory_space=pltpu.VMEM)
+    table_specs1 = [
+        pl.BlockSpec(a.shape, lambda ib, it, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables1
+    ]
+    eng1 = "stacked" if engine.startswith("gridslice") else engine
+    kern1 = lambda *refs: _col_kernel_packed(
+        refs, radices1, algorithm, n1, t, bt1, grouped=grouped,
+        state_dtype=sd, complex_mult=complex_mult, first_dot=first_dot,
+        engine=eng1)
+    mid_re, mid_im = pl.pallas_call(
+        kern1,
+        grid=(b // bt1, n2 // t),
+        in_specs=[x_spec, p_spec, q_spec, pm_spec] + table_specs1,
+        out_specs=(out_spec1, out_spec1),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n1, n2), x.dtype),
+            jax.ShapeDtypeStruct((b, n1, n2), x.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n * t,
+            bytes_accessed=4 * b * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x3, p_tab, q_tab, pm, *tables1)
+
+    # Pass K2: identical to four_step_fft's (shared stacked row kernel).
+    tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped,
+                           engine, first_dot=first_dot,
+                           complex_mult=complex_mult)
+    in_spec2 = pl.BlockSpec(
+        (bt2, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
+    )
+    out_spec2 = pl.BlockSpec(
+        (bt2, n2, k1_tile), lambda ib, ik: (ib, 0, ik), memory_space=pltpu.VMEM
+    )
+    table_specs2 = [
+        pl.BlockSpec(a.shape, lambda ib, ik, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables2
+    ]
+    eng2 = "stacked" if engine.startswith("gridslice") else engine
+    kern2 = lambda *refs: _row_kernel(refs, radices2, algorithm, n2, k1_tile,
+                                      bt2, grouped=grouped, state_dtype=sd,
+                                      complex_mult=complex_mult,
+                                      first_dot=first_dot, engine=eng2)
+    out_re, out_im = pl.pallas_call(
+        kern2,
+        grid=(b // bt2, n1 // k1_tile),
+        in_specs=[in_spec2, in_spec2] + table_specs2,
+        out_specs=(out_spec2, out_spec2),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n2, n1), x.dtype),
+            jax.ShapeDtypeStruct((b, n2, n1), x.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+        ),
+    )(mid_re, mid_im, *tables2)
+
+    return out_re.reshape(b, n), out_im.reshape(b, n)
+
+
+def _row_kernel_interleave(refs, radices, algorithm, n2, k1_tile, bt,
+                           grouped, state_dtype, complex_mult, first_dot,
+                           engine):
+    """Pass K2 writing INTERLEAVED REAL output: each (n2, k1_tile) re/im
+    result pair becomes one (n2, 2*k1_tile) block of x.reshape(b, n2, 2*n1)
+    via the constant interleave permutation matmul (in the storage dtype,
+    so results are bit-identical to storing planes + interleave_split)."""
+    from tensorfft_tpu.ops import rfft_pallas
+
+    re_ref, im_ref = refs[0], refs[1]
+    pm_ref = refs[2]
+    table_refs = refs[3:-1]
+    x_ref = refs[-1]
+
+    for i in range(bt):
+        s_re, s_im = _run_stages(
+            re_ref[i].T.astype(state_dtype),
+            im_ref[i].T.astype(state_dtype),
+            table_refs, radices, algorithm, n2, k1_tile, grouped,
+            state_dtype, complex_mult, engine, first_dot,
+        )
+        wide = jnp.concatenate([s_re, s_im], axis=1).astype(x_ref.dtype)
+        x_ref[i] = rfft_pallas._permute_dot(
+            wide, pm_ref[:]).astype(x_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
+        "lane_tile", "algorithm", "interpret", "grouped", "state_dtype",
+        "complex_mult", "first_dot", "engine", "k1_tile",
+    ),
+)
+def four_step_fft_to_real(
+    re,
+    im,
+    *,
+    n1: int,
+    n2: int,
+    radices1: Tuple[int, ...],
+    radices2: Tuple[int, ...],
+    scales1: Tuple[float, ...],
+    scales2: Tuple[float, ...],
+    sign: int = dft.INVERSE,
+    lane_tile: int = 128,
+    algorithm: str = "bf16",
+    interpret: bool | None = None,
+    grouped: bool = False,
+    state_dtype: str = "float32",
+    complex_mult: str = "block",
+    first_dot: str = "default",
+    engine: str = "stacked",
+    k1_tile: int = 128,
+):
+    """Four-step FFT whose natural-order output planes are INTERLEAVED into
+    one real (B, 2N) array inside K2's store (the irfft final interleave,
+    rfft.py:_interleave, fused — zero extra HBM passes).  Bit-identical to
+    four_step_fft + ops/rfft_pallas.interleave_split.  K1 follows ``engine``
+    unchanged (including gridslice); K2 runs the stacked interleave kernel.
+    """
+    from tensorfft_tpu.ops import rfft_pallas
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if re.ndim != 2 or re.shape != im.shape:
+        raise ValueError(
+            f"four_step_fft_to_real expects matching (B, N) planes, got "
+            f"re {re.shape} im {im.shape}"
+        )
+    b, n = re.shape
+    if n != n1 * n2:
+        raise ValueError(f"N={n} != n1*n2 = {n1}*{n2}")
+    t = min(lane_tile, n2)
+    if n2 % t != 0:
+        raise ValueError(f"n2={n2} not divisible by lane tile {t}")
+    k1_tile = min(k1_tile, n1)
+    if n1 % k1_tile != 0:
+        raise ValueError(f"n1={n1} not divisible by k1 tile {k1_tile}")
+    if min(t, k1_tile) < 128:
+        state_dtype = "float32"
+    sd = jnp.dtype(state_dtype)
+
+    def batch_tile(panel_elems: int) -> int:
+        target = max(1, (1 << 19) // max(panel_elems, 1))
+        bt = 1
+        while bt * 2 <= target and b % (bt * 2) == 0:
+            bt *= 2
+        return bt
+
+    bt1 = batch_tile(n1 * t)
+    bt2 = batch_tile(k1_tile * n2)
+
+    re3 = re.reshape(b, n1, n2)
+    im3 = im.reshape(b, n1, n2)
+
+    # Pass K1: byte-for-byte the four_step_fft column pass (incl. gridslice).
+    p_re, p_im, q_re, q_im = dft.four_step_twiddle_factors(
+        n1, n2, t, dtype=np.float32, sign=sign
+    )
+    use_gs1 = False
+    if engine.startswith("gridslice"):
+        s1_total = gridslice_layout(radices1, grouped)
+        slice_block1 = int(engine[len("gridslice"):] or 8)
+        if (s1_total is not None and s1_total % slice_block1 == 0
+                and radices1[-1] >= 8):
+            use_gs1 = True
+    pq = np.stack([p_re, p_im]).transpose(2, 0, 1)
+    qq = np.stack([q_re, q_im])
+    if use_gs1:
+        r_last1 = radices1[-1]
+        perm = ((np.arange(n1) % r_last1) * s1_total
+                + np.arange(n1) // r_last1)
+        pq = pq[:, :, perm]
+        qq = qq[:, perm, :]
+    p_tab = jnp.asarray(pq.copy())
+    q_tab = jnp.asarray(qq.copy())
+    tables1 = _pass_tables(radices1, scales1, sign, algorithm, grouped,
+                           engine, first_dot=first_dot,
+                           complex_mult=complex_mult)
+
+    if use_gs1:
+        re4 = re3.reshape(b, r_last1, s1_total, n2)
+        im4 = im3.reshape(b, r_last1, s1_total, n2)
+        data_spec1g = pl.BlockSpec(
+            (bt1, r_last1, s1_total, t), lambda ib, it, s: (ib, 0, 0, it),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec1g = pl.BlockSpec(
+            (bt1, r_last1, slice_block1, t), lambda ib, it, s: (ib, 0, s, it),
+            memory_space=pltpu.VMEM,
+        )
+        p_spec_g = pl.BlockSpec(
+            (1, 2, n1), lambda ib, it, s: (it, 0, 0), memory_space=pltpu.VMEM
+        )
+        q_spec_g = pl.BlockSpec(
+            (2, n1, t), lambda ib, it, s: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        table_specs1g = [
+            pl.BlockSpec(a.shape, lambda ib, it, s, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in tables1
+        ]
+        kern1g = lambda *r: _col_kernel_gridslice(
+            r[:-2], r[-2:], radices1, algorithm, n1, t, bt1, s1_total,
+            slice_block1, grouped, sd, complex_mult, first_dot)
+        mid_re, mid_im = pl.pallas_call(
+            kern1g,
+            grid=(b // bt1, n2 // t, s1_total // slice_block1),
+            in_specs=[data_spec1g, data_spec1g, p_spec_g, q_spec_g]
+            + table_specs1g,
+            out_specs=(out_spec1g, out_spec1g),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, r_last1, s1_total, n2), re.dtype),
+                jax.ShapeDtypeStruct((b, r_last1, s1_total, n2), im.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bt1, s1_total, r_last1, t), re.dtype),
+                pltpu.VMEM((bt1, s1_total, r_last1, t), im.dtype),
+            ],
+            interpret=interpret,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+                dimension_semantics=("arbitrary",) * 3,
+            ),
+        )(re4, im4, p_tab, q_tab, *tables1)
+        mid_re = mid_re.reshape(b, n1, n2)
+        mid_im = mid_im.reshape(b, n1, n2)
+    else:
+        data_spec1 = pl.BlockSpec(
+            (bt1, n1, t), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+        )
+        p_spec = pl.BlockSpec(
+            (1, 2, n1), lambda ib, it: (it, 0, 0), memory_space=pltpu.VMEM
+        )
+        q_spec = pl.BlockSpec(
+            (2, n1, t), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        table_specs1 = [
+            pl.BlockSpec(a.shape, lambda ib, it, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for a in tables1
+        ]
+        kern1 = lambda *refs: _col_kernel(refs, radices1, algorithm, n1, t,
+                                          bt1, grouped=grouped,
+                                          state_dtype=sd,
+                                          complex_mult=complex_mult,
+                                          first_dot=first_dot, engine=engine)
+        mid_re, mid_im = pl.pallas_call(
+            kern1,
+            grid=(b // bt1, n2 // t),
+            in_specs=[data_spec1, data_spec1, p_spec, q_spec] + table_specs1,
+            out_specs=(data_spec1, data_spec1),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n1, n2), re.dtype),
+                jax.ShapeDtypeStruct((b, n1, n2), im.dtype),
+            ),
+            interpret=interpret,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+            ),
+        )(re3, im3, p_tab, q_tab, *tables1)
+
+    # Pass K2 with the interleave store epilogue.
+    tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped,
+                           engine, first_dot=first_dot,
+                           complex_mult=complex_mult)
+    pm = jnp.asarray(rfft_pallas._interleave_table(k1_tile))
+    in_spec2 = pl.BlockSpec(
+        (bt2, k1_tile, n2), lambda ib, ik: (ib, ik, 0), memory_space=pltpu.VMEM
+    )
+    out_spec2 = pl.BlockSpec(
+        (bt2, n2, 2 * k1_tile), lambda ib, ik: (ib, 0, ik),
+        memory_space=pltpu.VMEM
+    )
+    pm_spec = pl.BlockSpec(pm.shape, lambda ib, ik: (0, 0),
+                           memory_space=pltpu.VMEM)
+    table_specs2 = [
+        pl.BlockSpec(a.shape, lambda ib, ik, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in tables2
+    ]
+    eng2 = "stacked" if engine.startswith("gridslice") else engine
+    kern2 = lambda *refs: _row_kernel_interleave(
+        refs, radices2, algorithm, n2, k1_tile, bt2, grouped, sd,
+        complex_mult, first_dot, eng2)
+    x_out = pl.pallas_call(
+        kern2,
+        grid=(b // bt2, n1 // k1_tile),
+        in_specs=[in_spec2, in_spec2, pm_spec] + table_specs2,
+        out_specs=out_spec2,
+        out_shape=jax.ShapeDtypeStruct((b, n2, 2 * n1), re.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
+        ),
+    )(mid_re, mid_im, pm, *tables2)
+
+    return x_out.reshape(b, 2 * n)

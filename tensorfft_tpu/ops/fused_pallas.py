@@ -135,6 +135,45 @@ def _stage_kinds(radices, grouped: bool):
         k *= radix
 
 
+def _grouped_mult3(kind: str, radix: int, p: int, complex_mult: str) -> bool:
+    """Whether a grouped stage runs as three real matmuls (Gauss trick).
+
+    Only p == 1 twiddle-folds qualify: packed groups (radix <= 32) have
+    p*radix = 64, below the 128-wide MXU contraction pad, so three padded
+    matmuls cost MORE than the one exact 128x128 block matmul.  At p == 1,
+    radix >= 128, the trick cuts the stage's padded MACs 25% — exactly the
+    regime where the grouped radix-256 stage is MXU-bound (the N=16384
+    headline: stage-2 block matmuls ~700 us of the 829 us HBM floor).
+    """
+    return (kind == "grouped" and complex_mult == "mult3"
+            and p == 1 and radix >= 128)
+
+
+@functools.lru_cache(maxsize=None)
+def _grouped_g3_table(radix: int, k: int, scale: float, sign: int):
+    """(k, 3R, R) twiddle-folded mult3 stage tables (p == 1 grouped stages).
+
+    Slice kk stacks [Re(M_kk); Im(M_kk); Re(M_kk)+Im(M_kk)] for the folded
+    complex matrix M_kk[r_o, r_i] = D[r_o, r_i] * W[r_i, kk] — the three
+    operand matrices of the Gauss 3-multiplication complex product
+    (see _mult3).  vs the (k, 2R, 2R) block table this is 25% fewer MACs
+    AND 25% less resident table (3R*R vs 4R*R entries per slice); the sum
+    plane is built in fp64 before the storage rounding.
+    """
+    d_re, d_im = dft.dft_matrix(radix, dtype=np.float64, sign=sign,
+                                scale=scale)
+    d_cplx = d_re + 1j * d_im
+    w_re, w_im = dft.stage_twiddle(radix, k, dtype=np.float64, sign=sign)
+    w_cplx = w_re + 1j * w_im  # (R, K); column kk scales input digit r_i
+    out = np.empty((k, 3 * radix, radix), dtype=np.float64)
+    for kk in range(k):
+        m = d_cplx * w_cplx[None, :, kk]
+        out[kk, :radix] = m.real
+        out[kk, radix:2 * radix] = m.imag
+        out[kk, 2 * radix:] = m.real + m.imag
+    return out.astype(np.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def _grouped_g_table(radix: int, k: int, p: int, scale: float, sign: int):
     """(k//p, 2pR, 2pR) fp64->fp32 block-diagonal twiddle-folded stage matrices.
@@ -193,14 +232,17 @@ def epilogue_twiddle_tables(radices, sign):
 
 def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool,
                        first_dot: str = "default",
-                       pretwiddle: bool = False):
+                       pretwiddle: bool = False,
+                       complex_mult: str = "block"):
     """The jnp table operands for one kernel, in stage_loop consumption order.
 
     Matmul operands (BD / grouped G) are pre-rounded to bf16 under the plain
     'bf16' algorithm (split algorithms need the fp32 originals); twiddle
     tables stay fp32 (VPU multiply).  A compensated ``first_dot`` keeps the
     FIRST stage's matrix fp32 so the kernel can split it (ops/dots.py
-    'bf16ax2').
+    'bf16ax2').  ``complex_mult='mult3'`` swaps qualifying grouped stages'
+    block tables for the (k, 3R, R) mult3 fold (_grouped_mult3) — the gate
+    here must match stage_loop's consumption exactly.
     """
     d_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
     arrays = []
@@ -210,6 +252,11 @@ def stage_table_arrays(radices, scales, sign, algorithm, grouped: bool,
         _stage_kinds(radices, grouped and not pretwiddle), plain, scales
     )):
         if kind == "grouped":
+            if _grouped_mult3(kind, radix, p, complex_mult):
+                arrays.append(
+                    jnp.asarray(_grouped_g3_table(radix, k, float(scale),
+                                                  sign), d_dtype))
+                continue
             arrays.append(
                 jnp.asarray(_grouped_g_table(radix, k, p, float(scale), sign),
                             d_dtype)
@@ -453,8 +500,25 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
             g_tab = table_refs[ti][:]
             ti += 1
             zv = state.reshape(2, k, radix, m * t)
+            use3g = _grouped_mult3(kind, radix, p, complex_mult)
             outs = []
             for g in range(k // p):
+                if use3g:
+                    # Gauss 3-matmul form on the folded per-slice tables:
+                    # 25% fewer padded MACs than the (2R, 2R) block matmul
+                    # at radix >= 128 — AND no stacked re/im operand gather
+                    # (the planes feed the three matmuls separately).
+                    m_re = g_tab[g, :radix]
+                    m_im = g_tab[g, radix:2 * radix]
+                    m_sum = g_tab[g, 2 * radix:]
+                    zr, zi = zv[0, g], zv[1, g]
+                    t1 = dots.dot(m_re, zr, algorithm)
+                    t2 = dots.dot(m_im, zi, algorithm)
+                    t3 = dots.dot(m_sum, zr + zi, algorithm)
+                    o = jnp.stack([(t1 - t2).astype(od),
+                                   (t3 - t1 - t2).astype(od)])
+                    outs.append(o)
+                    continue
                 zg = zv[:, g * p:(g + 1) * p].reshape(2 * p * radix, m * t)
                 o = dots.dot(g_tab[g], zg, algorithm).astype(od)
                 # p == 1 keeps slices 3D — a trailing singleton pack axis
@@ -777,7 +841,8 @@ def fused_fft(
     else:
         table_arrays = stage_table_arrays(radices, scales, sign, algorithm,
                                           grouped, first_dot=first_dot,
-                                          pretwiddle=(engine == "pretwiddle"))
+                                          pretwiddle=(engine == "pretwiddle"),
+                                          complex_mult=complex_mult)
 
     if engine.startswith("gridslice"):
         s_total = gridslice_layout(radices, grouped)

@@ -46,9 +46,13 @@ Permutation matmuls are EXACT: every merged matrix still has at most one
 nonzero per output column, so bf16 operands pass through the MXU unrounded
 (fp32 accumulate, no actual additions), and fp32 operands use the 4-term
 bitmask split (ops/dots.split_bf16), each term again exact under the 0/1
-matrix.  Upcasts commute with permutations, so results are bit-identical to
-the plain-XLA formulations in rfft.py, which remain the fallback for tiny
-shapes and non-TPU backends.
+matrix.  Upcasts commute with permutations, so pack/interleave (pure
+permutations) are bit-identical to the XLA formulations in rfft.py, which
+remain the fallback for tiny shapes and non-TPU backends.  The untangle/
+retangle elementwise chains match XLA to ~1 fp32 ulp (FMA contraction
+order differs), so bf16 OUTPUT bit-identity is not guaranteed at large m
+(at m = 8192 bf16 a few columns cross a rounding boundary); the fp32
+intermediates agree to the last-place contraction difference only.
 """
 from __future__ import annotations
 
@@ -81,14 +85,27 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _effective_lane_tile(m: int, lane_tile: int) -> int:
+    """Effective matmul lane tile: ``lane_tile`` when it divides ``m``,
+    else ``m`` itself for small non-multiples (e.g. m = 384 with the 256
+    default — previously accepted when the default tile was 512)."""
+    lt = min(lane_tile, m)
+    if m % lt and m < 2 * lane_tile:
+        lt = m
+    return lt
+
+
 def epilogue_supported(m: int, lane_tile: int = LANE_TILE) -> bool:
     """Whether the Pallas epilogue kernels can handle half-length ``m``."""
-    lt = min(lane_tile, m)
-    return m >= 128 and m % lt == 0
+    return m >= 128 and m % _effective_lane_tile(m, lane_tile) == 0
 
 
 def _subs_per_step(m: int, lt: int, bt: int, planes: int) -> int:
     """K: sub-blocks per grid step (see module docstring)."""
+    if m % lt:
+        raise ValueError(
+            f"half-length {m} is not a multiple of the lane tile {lt}; "
+            f"gate callers on epilogue_supported()")
     k = max(1, min(LANE_BLOCK_TARGET // lt,
                    m // lt,
                    MAX_STACK_ROWS // max(planes * bt, 1)))
@@ -201,7 +218,7 @@ def pack_split(x, *, lane_tile: int = LANE_TILE, interpret: bool | None = None
         interpret = _interpret_default()
     b0, n = x.shape
     m = n // 2
-    lt = min(lane_tile, m)
+    lt = _effective_lane_tile(m, lane_tile)
     (x,), b0, b = _batch_pad([x], x.dtype)
     bt = _batch_tile(b)
     k = _subs_per_step(m, lt, bt, planes=1)
@@ -253,7 +270,7 @@ def interleave_split(re, im, *, lane_tile: int = LANE_TILE,
     if interpret is None:
         interpret = _interpret_default()
     b0, m = re.shape
-    lt = min(lane_tile, m)
+    lt = _effective_lane_tile(m, lane_tile)
     (re, im), b0, b = _batch_pad([re, im], re.dtype)
     bt = _batch_tile(b)
     k = _subs_per_step(m, lt, bt, planes=1)
@@ -369,7 +386,7 @@ def untangle_fwd(z_re, z_im, *, n: int, scale: float,
         interpret = _interpret_default()
     b0, m = z_re.shape
     assert n == 2 * m
-    lt = min(lane_tile, m)
+    lt = _effective_lane_tile(m, lane_tile)
     mb = m // lt
     (z_re, z_im), b0, b = _batch_pad([z_re, z_im], z_re.dtype)
     bt = _batch_tile(b)
@@ -463,7 +480,7 @@ def retangle_inv(re, im, *, n: int, scale: float, out_dtype,
     b0, m_plus = re.shape
     m = m_plus - 1
     assert n == 2 * m
-    lt = min(lane_tile, m)
+    lt = _effective_lane_tile(m, lane_tile)
     mb = m // lt
     (re, im), b0, b = _batch_pad([re, im], re.dtype)
     bt = _batch_tile(b)

@@ -75,6 +75,19 @@ def _use_pallas_epilogue(m: int, epilogue: str) -> bool:
     return epilogue == "pallas" or jax.default_backend() == "tpu"
 
 
+def _fused_pack_ok(plan: FFTPlan) -> bool:
+    """Whether the pack/interleave legs can ride the four-step passes.
+
+    Requires a complete four-step decomposition; the fused kernels share
+    the tuned plan knobs via fft.four_step_call_kwargs.  The k1_tile used
+    by the interleave table must be a supported matmul tile (it always is:
+    plan validation forces a power of two >= 128)."""
+    from tensorfft_tpu.plan import Strategy
+
+    return (plan.resolve_strategy() is Strategy.FOUR_STEP
+            and plan.four_step_split is not None)
+
+
 def rfft_split(x, plan: Optional[FFTPlan] = None, epilogue: str = "auto",
                **plan_kwargs):
     """Forward R2C FFT of a real array along the last axis.
@@ -102,8 +115,21 @@ def rfft_split(x, plan: Optional[FFTPlan] = None, epilogue: str = "auto",
 
         batch_shape = x.shape[:-1]
         b = int(np.prod(batch_shape)) if batch_shape else 1
-        z_re, z_im = rfft_pallas.pack_split(x.reshape(b, n))
-        Z_re, Z_im = _fft_split(z_re, z_im, plan)
+        x2 = x.reshape(b, n).astype(plan.precision.storage_dtype)
+        if _fused_pack_ok(plan):
+            # Four-step plans fuse the lane-deinterleave pack into the K1
+            # column pass's input map — zero extra HBM passes, bit-identical
+            # to pack_split + fft (ops/four_step_pallas.py, round-4).
+            from tensorfft_tpu.fft import four_step_call_kwargs
+            from tensorfft_tpu.ops import four_step_pallas
+
+            Z_re, Z_im = four_step_pallas.four_step_fft_packed_real(
+                x2, **four_step_call_kwargs(plan, forward=True))
+            Z_re = Z_re.astype(plan.precision.storage_dtype)
+            Z_im = Z_im.astype(plan.precision.storage_dtype)
+        else:
+            z_re, z_im = rfft_pallas.pack_split(x2)
+            Z_re, Z_im = _fft_split(z_re, z_im, plan)
         o_re, o_im = rfft_pallas.untangle_fwd(Z_re, Z_im, n=n,
                                               scale=float(scale))
         return (o_re.reshape(*batch_shape, m + 1),
@@ -198,8 +224,17 @@ def irfft_split(re, im, plan: Optional[FFTPlan] = None, n: Optional[int] = None,
         z_re, z_im = rfft_pallas.retangle_inv(
             re.reshape(b, m_plus), im.reshape(b, m_plus), n=n,
             scale=float(_inverse_pre_scale(plan)), out_dtype=storage)
-        o_re, o_im = _ifft_split(z_re, z_im, plan)
-        x = rfft_pallas.interleave_split(o_re, o_im)
+        if _fused_pack_ok(plan):
+            # Four-step plans fuse the final lane interleave into the K2
+            # row pass's output map (see four_step_fft_to_real).
+            from tensorfft_tpu.fft import four_step_call_kwargs
+            from tensorfft_tpu.ops import four_step_pallas
+
+            x = four_step_pallas.four_step_fft_to_real(
+                z_re, z_im, **four_step_call_kwargs(plan, forward=False))
+        else:
+            o_re, o_im = _ifft_split(z_re, z_im, plan)
+            x = rfft_pallas.interleave_split(o_re, o_im)
         return x.reshape(*batch_shape, n).astype(storage)
 
     re = re.astype(jnp.float32)

@@ -740,24 +740,10 @@ def tune(
             ),
             audit=audit, resume=resume,
         )
-    # interleave_downcast casts the last stage's slices to the storage dtype
-    # BEFORE the K-way interleave stack (bit-identical outputs), halving the
-    # sublane shuffle's bytes when the state is fp32 and storage is bf16 —
-    # the interleave half of the bf16-state trade without its per-stage
-    # rounding.  Only meaningful on the stacked/pretwiddle fused engines
-    # with a wider state than storage.
-    if (best_cfg.strategy == "fused"
-            and best_cfg.engine in ("stacked", "pretwiddle")
-            and best_cfg.state_dtype == "float32"
-            and Precision(precision) is Precision.BFLOAT16):
-        best_cfg, best_ns = _twin_head_to_head(
-            n, best_cfg, best_ns, batch, precision,
-            dataclasses.replace(
-                best_cfg,
-                interleave_downcast=not best_cfg.interleave_downcast,
-            ),
-            audit=audit, resume=resume,
-        )
+    # interleave_downcast is NOT challenged: its only hardware measurement
+    # lost decisively (2276 vs 1248 us at the N=16384 headline, round-3 S8 —
+    # the cast adds a VPU pass rather than removing one), so the twin slot
+    # is retired.  The plan field remains for explicit tuning dicts.
     # k1_tile widens the K2 row pass's lane panels (halves its grid and
     # doubles the panels feeding the stage matmuls — round-2 verdict item 2's
     # untried lever, viable since blocked-P streaming freed K-pass VMEM).

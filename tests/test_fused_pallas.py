@@ -594,3 +594,75 @@ def test_interleave_downcast_through_public_api():
     assert _config_from_entry(t).interleave_downcast is True
     assert "interleave_downcast" not in RunConfig(
         strategy="fused", radices=(32, 32)).as_tuning()
+
+
+def test_grouped_mult3_matches_grouped_block_and_oracle():
+    """Round-4: complex_mult='mult3' INSIDE the grouped twiddle-fold.
+
+    p == 1 grouped stages (radix >= 128) run as three RxR real matmuls on
+    the folded per-slice tables (_grouped_g3_table) — 25% fewer padded MACs
+    than the (2R, 2R) block fold, which is where the N=16384 headline is
+    MXU-bound.  Not bit-identical to the block fold (different summation
+    order), so the contract is gate-grade oracle accuracy plus agreement
+    with the block-fold grouped engine at storage-rounding tolerance.
+    Covers: fused headline shape, gridslice composition (emit_slices with
+    mult3 slices), packed p >= 2 stages staying on the block path, and a
+    four-step pass.
+    """
+    import jax.numpy as jnp
+
+    import tensorfft_tpu as tfft
+    from tensorfft_tpu.fft import stage_scales
+    from tensorfft_tpu.ops.fused_pallas import (
+        _grouped_mult3, _stage_kinds, fused_fft)
+
+    # Gate sanity: only p == 1, radix >= 128 grouped stages flip.
+    kinds = list(_stage_kinds((64, 256), grouped=True))
+    assert kinds[1][0] == "grouped" and kinds[1][3] == 1
+    assert _grouped_mult3("grouped", 256, 1, "mult3")
+    assert not _grouped_mult3("grouped", 32, 2, "mult3")  # packed stays block
+    assert not _grouped_mult3("grouped", 256, 1, "block")
+    assert not _grouped_mult3("kloop", 256, 1, "mult3")
+
+    rng = np.random.default_rng(41)
+    for n, radices, b, engine in [
+        (16384, (64, 256), 8, "stacked"),    # the headline winner structure
+        (16384, (64, 256), 8, "gridslice"),  # emit_slices composition
+        (8192, (64, 128), 8, "stacked"),
+        (1024, (8, 128), 8, "stacked"),      # p=1 radix-128 grouped stage
+        (1024, (128, 8), 8, "stacked"),      # p=8 packed stage: stays block
+    ]:
+        re = rng.standard_normal((n, b)).astype(np.float32)
+        im = rng.standard_normal((n, b)).astype(np.float32)
+        want = np.fft.fft(re + 1j * im, axis=0) / n
+        scales = stage_scales(radices, "forward", True)
+        outs = {}
+        for cm in ("block", "mult3"):
+            o_re, o_im = fused_fft(
+                jnp.asarray(re, jnp.bfloat16), jnp.asarray(im, jnp.bfloat16),
+                radices=radices, scales=scales, grouped=True,
+                complex_mult=cm, engine=engine,
+            )
+            outs[cm] = (np.asarray(o_re, np.float64)
+                        + 1j * np.asarray(o_im, np.float64))
+            err = np.abs(outs[cm] - want).mean()
+            assert err < 1e-3, (n, radices, engine, cm, err)
+        # Same math to storage rounding: bf16 outputs differ at most ~1 ulp.
+        d = np.abs(outs["mult3"] - outs["block"]).max()
+        scale = np.abs(outs["block"]).max()
+        assert d <= 0.02 * scale, (n, radices, engine, d, scale)
+
+    # Four-step pass with a grouped+mult3 row pass (shared stage_loop).
+    n = 1 << 16
+    re = rng.standard_normal((2, n)).astype(np.float32)
+    im = rng.standard_normal((2, n)).astype(np.float32)
+    want = np.fft.fft(re + 1j * im, axis=-1) / n
+    plan = tfft.create_plan(
+        n, precision="float32",
+        tuning={"strategy": "four_step", "four_step_split": (128, 512),
+                "col_radices": (128,), "row_radices": (4, 128),
+                "grouped": True, "complex_mult": "mult3"},
+    )
+    o_re, o_im = tfft.fft_split(re, im, plan)
+    got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert np.abs(got - want).max() < 1e-4

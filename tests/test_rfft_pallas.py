@@ -142,3 +142,93 @@ def test_epilogue_supported_gate():
     assert rfft_pallas.epilogue_supported(512)
     assert rfft_pallas.epilogue_supported(1 << 19)
     assert not rfft_pallas.epilogue_supported(64)
+    # m < 2*lane_tile non-multiples run with lt = m (the pre-round-3 default
+    # tile accepted these; the gate must not silently tighten).
+    assert rfft_pallas.epilogue_supported(384)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "float32"])
+def test_untangle_retangle_multi_big_block(monkeypatch, dtype):
+    """Exercise mbk >= 2: multiple big blocks per batch row, so the
+    j-dependent modular index maps (b_spec/a_spec) and the Nyquist-at-j==mbk
+    branch all run (ADVICE r3: every default-constant shape gave mbk == 1).
+    Shrinking LANE_BLOCK_TARGET forces small K without needing m >= 8192."""
+    monkeypatch.setattr(rfft_pallas, "LANE_BLOCK_TARGET", 256)
+    rng = np.random.default_rng(6)
+    dt = jnp.dtype(dtype)
+    b, m = 4, 1024  # K = 2, L = 256, mbk = 4
+    n = 2 * m
+    z_re = jnp.asarray(rng.standard_normal((b, m)), dt)
+    z_im = jnp.asarray(rng.standard_normal((b, m)), dt)
+    got_re, got_im = rfft_pallas.untangle_fwd(
+        z_re, z_im, n=n, scale=0.25, lane_tile=128, interpret=True)
+    want_re, want_im = rfft_mod._untangle_fwd(z_re, z_im, n, 0.25, dt)
+    _assert_epilogue_equal(got_re, want_re, dt)
+    _assert_epilogue_equal(got_im, want_im, dt)
+
+    re = jnp.asarray(rng.standard_normal((b, m + 1)), dt)
+    im = jnp.asarray(rng.standard_normal((b, m + 1)), dt)
+    got_re, got_im = rfft_pallas.retangle_inv(
+        re, im, n=n, scale=1.0, out_dtype=dt, lane_tile=128, interpret=True)
+    want_re, want_im = rfft_mod._retangle_inv(
+        re.astype(jnp.float32), im.astype(jnp.float32), n, 1.0)
+    _assert_epilogue_equal(got_re, want_re.astype(dt), dt)
+    _assert_epilogue_equal(got_im, want_im.astype(dt), dt)
+
+
+@pytest.mark.parametrize("precision", ["bfloat16", "float32"])
+def test_rfft_four_step_fused_pack_interleave(precision):
+    """Round-4 fused epilogues: four-step plans ride the pack on K1's input
+    map and the interleave on K2's output map (four_step_fft_packed_real /
+    four_step_fft_to_real).  Pack/interleave are exact permutations applied
+    in the storage dtype, so the full rfft/irfft must match the standalone-
+    kernel 'pallas' formulation bit-for-bit on the pack/interleave legs;
+    end-to-end the only tolerated difference is the untangle/retangle fp32
+    contraction ulp (bf16 storage: bit-identical)."""
+    m = 1 << 15
+    n = 2 * m
+    b = 2
+    plan = tfft.create_plan(
+        m, precision=precision,
+        tuning={"strategy": "four_step", "four_step_split": (128, 256)},
+    )
+    from tensorfft_tpu.rfft import _fused_pack_ok
+    assert _fused_pack_ok(plan)
+    rng = np.random.default_rng(7)
+    x64 = rng.standard_normal((b, n))
+    x = jnp.asarray(x64, plan.precision.storage_dtype)
+    st = plan.precision.storage_dtype
+
+    f_re, f_im = rfft_split(x, plan, epilogue="pallas")
+    want = np.fft.rfft(x64, axis=-1) / n
+    got = np.asarray(f_re, np.float64) + 1j * np.asarray(f_im, np.float64)
+    tol = 2e-3 if precision == "bfloat16" else 1e-5
+    np.testing.assert_allclose(got, want, atol=tol)
+
+    # Fused-pack mids == standalone pack_split + fft (bit-identical).
+    from tensorfft_tpu.fft import _fft_split_jit, four_step_call_kwargs
+    from tensorfft_tpu.ops import four_step_pallas, rfft_pallas
+
+    z_re, z_im = rfft_pallas.pack_split(x, interpret=True)
+    Z_re_s, Z_im_s = _fft_split_jit(z_re, z_im, plan, True)
+    Z_re_f, Z_im_f = four_step_pallas.four_step_fft_packed_real(
+        x, **four_step_call_kwargs(plan, forward=True))
+    np.testing.assert_array_equal(
+        np.asarray(Z_re_f.astype(st), np.float32),
+        np.asarray(Z_re_s, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(Z_im_f.astype(st), np.float32),
+        np.asarray(Z_im_s, np.float32))
+
+    # Fused interleave == four_step_fft + interleave_split (bit-identical).
+    x_f = four_step_pallas.four_step_fft_to_real(
+        Z_re_s, Z_im_s, **four_step_call_kwargs(plan, forward=False))
+    o_re, o_im = _fft_split_jit(Z_re_s, Z_im_s, plan, False)
+    x_s = rfft_pallas.interleave_split(o_re, o_im, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x_f, np.float32),
+                                  np.asarray(x_s, np.float32))
+
+    # Roundtrip inverts.
+    back = irfft_split(f_re, f_im, plan, epilogue="pallas")
+    rt_tol = 3e-2 if precision == "bfloat16" else 2e-4
+    np.testing.assert_allclose(np.asarray(back, np.float64), x64, atol=rt_tol)
