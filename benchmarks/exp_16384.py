@@ -11,6 +11,11 @@ import json
 
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def main():
     import jax.numpy as jnp

@@ -15,6 +15,11 @@ import json
 
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -242,3 +242,24 @@ def test_pencil_local_engine_consumes_tuner_cache(mesh8, tmp_path, monkeypatch):
     want = np.fft.fft(x) / n
     got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
     assert np.abs(got - want).max() < 1e-5
+
+
+def test_pencil_1d_overlap_issues_chunked_collectives(mesh8):
+    # Shape-level schedule validation (round-3 verdict item 8): overlap=c
+    # must issue exactly c chunked all_to_all collectives — the pipelined
+    # schedule really splits the transpose, rather than repeating it.
+    import jax
+
+    from tensorfft_tpu.parallel import pencil_fft_1d
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    re = rng.standard_normal(n).astype(np.float32)
+    im = rng.standard_normal(n).astype(np.float32)
+    for ov in (1, 2, 4):
+        jaxpr = jax.make_jaxpr(
+            lambda a, b, ov=ov: pencil_fft_1d(
+                a, b, mesh8, n1=16, precision="float32", overlap=ov)
+        )(re, im)
+        n_a2a = str(jaxpr).count("all_to_all")
+        assert n_a2a == 2 * ov, (ov, n_a2a)  # one per plane (re, im)
