@@ -33,6 +33,9 @@ def main():
                          "plain-XLA staged path at float32 policy (runs on "
                          "this TPU backend); 'xla' = jnp.fft fp32 (CPU only "
                          "— complex dtypes are unsupported on this TPU)")
+    ap.add_argument("--tuning", default=None,
+                    help="'auto' runs each length under its tuner-cache "
+                         "winner (the shipping plan) instead of the default")
     ap.add_argument("--out", default="Accuracy_Test.dat")
     args = ap.parse_args()
 
@@ -59,7 +62,8 @@ def main():
             o = tfft.fft_split(re, im, plan)
             got = (np.asarray(o[0], np.float64), np.asarray(o[1], np.float64))
         else:
-            plan = tfft.create_plan(n, precision=args.precision)
+            plan = tfft.create_plan(n, precision=args.precision,
+                                    tuning=args.tuning)
             o = tfft.fft_split(re, im, plan)
             got = (np.asarray(o[0], np.float64), np.asarray(o[1], np.float64))
         d = deviation(got, want)
