@@ -56,7 +56,7 @@ stage_begin "S1 headline breakdown (grouped structure)"
 for v in copy s1 g_block g_m3 g_full g_movement g_nostack \
          g_m3_full g_m3_movement g_m3_nostack \
          g_gridslice g_gridslice16 g_m3_gridslice; do
-  run "s1_$v" 750 python benchmarks/exp_stage_breakdown.py \
+  run "s1_$v" 1150 python benchmarks/exp_stage_breakdown.py \
       --n 16384 --batch 4096 --variants "$v"
 done
 
@@ -74,10 +74,16 @@ done
 # ---------------------------------------------------------------- S3
 stage_begin "S3 rfft epilogue kernel floors"
 for w in pack_rt untangle_rt; do
-  run "s3_${w}_default" 900 python benchmarks/exp_rfft_kernels.py --which $w
-  run "s3_${w}_lt512"   900 python benchmarks/exp_rfft_kernels.py --which $w --lane-tile 512
-  run "s3_${w}_bt8192"  900 python benchmarks/exp_rfft_kernels.py --which $w --block-target 8192
-  run "s3_${w}_sr512"   900 python benchmarks/exp_rfft_kernels.py --which $w --stack-rows 512
+  run "s3_${w}_default" 1150 python benchmarks/exp_rfft_kernels.py --which $w
+  run "s3_${w}_lt512"   1150 python benchmarks/exp_rfft_kernels.py --which $w --lane-tile 512
+  run "s3_${w}_bt8192"  1150 python benchmarks/exp_rfft_kernels.py --which $w --block-target 8192
+  run "s3_${w}_sr512"   1150 python benchmarks/exp_rfft_kernels.py --which $w --stack-rows 512
+  # Bigger big-blocks: if per-grid-step DMA issue overhead dominates (129
+  # steps at the defaults), these quarter the step count.
+  run "s3_${w}_bt8k_sr2k"  1150 python benchmarks/exp_rfft_kernels.py \
+      --which $w --block-target 8192 --stack-rows 2048
+  run "s3_${w}_bt16k_sr4k" 1150 python benchmarks/exp_rfft_kernels.py \
+      --which $w --block-target 16384 --stack-rows 4096
 done
 
 # ---------------------------------------------------------------- S4
@@ -96,7 +102,7 @@ for cfg in "32768 128,256 float32" "32768 128,256 bfloat16" \
   set -- $cfg
   n=$1; rad=$2; sd=$3
   tag="s5_${n}_$(echo $rad | tr ',' x)_$sd"
-  run "$tag" 750 python benchmarks/exp_fused_midn_probe.py \
+  run "$tag" 1150 python benchmarks/exp_fused_midn_probe.py \
       --n "$n" --radices "$rad" --state-dtype "$sd" --measure
 done
 

@@ -17,6 +17,8 @@ def main():
     ap.add_argument("--end", type=int, default=16 ** 5)
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--precision", default="bfloat16")
+    ap.add_argument("--run-offset", type=int, default=0,
+                    help="start seed index (one-seed-per-process tail runs)")
     ap.add_argument("--tuning", default=None,
                     help="'auto' sweeps each length under its tuner-cache "
                          "winner instead of the default plan")
@@ -30,6 +32,7 @@ def main():
         runs_per_fft_length=args.runs,
         precision=args.precision,
         tuning=args.tuning,
+        run_offset=args.run_offset,
     )
     return 0 if ok else 1
 

@@ -89,6 +89,7 @@ def run_unit_sweep(
     precision: str = "bfloat16",
     verbose: bool = True,
     tuning=None,
+    run_offset: int = 0,
 ) -> bool:
     """UnitTest.cu main() analog: full sweep, abort on first failure.
 
@@ -97,13 +98,18 @@ def run_unit_sweep(
     ``tuning="auto"`` runs every length under its autotuner-cache winner
     (grouped/descending-radix/bf16-state configs included), so the gate
     certifies the configurations production plans actually use.
+
+    ``run_offset`` starts the seed index at ``i = run_offset`` so the
+    expensive tail lengths (2^26..2^28, where the fp64 oracle dominates
+    wall time) can run ONE SEED PER PROCESS — a tunnel wedge then costs one
+    seed, not the whole ten-seed protocol.
     """
     weights = [
         (
             datagen.get_random_weights(highest_harmonic, 42 * i),
             datagen.get_random_weights(highest_harmonic, 42 * 42 * i),
         )
-        for i in range(runs_per_fft_length)
+        for i in range(run_offset, run_offset + runs_per_fft_length)
     ]
     n = start_fft_length
     while n <= end_fft_length:

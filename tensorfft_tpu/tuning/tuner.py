@@ -748,13 +748,33 @@ def tune(
     # doubles the panels feeding the stage matmuls — round-2 verdict item 2's
     # untried lever, viable since blocked-P streaming freed K-pass VMEM).
     # Only four-step plans consume it, and the twin is a no-op unless n1
-    # exceeds the default 128 tile.  (``split`` resolved above.)
+    # exceeds the default 128 tile.  (``split`` resolved above.)  The round-3
+    # verdict's four-step ask names k1_tile=512 explicitly, so the challenge
+    # is a LADDER: after 256 beats 128, 512 challenges 256 (each rung
+    # guarded by plan_works_on_device inside _twin_head_to_head).
     if split is not None and split[0] >= 256:
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(
                 best_cfg, k1_tile=256 if best_cfg.k1_tile == 128 else 128,
             ),
+            audit=audit, resume=resume,
+        )
+        if best_cfg.k1_tile == 256 and split[0] >= 512:
+            best_cfg, best_ns = _twin_head_to_head(
+                n, best_cfg, best_ns, batch, precision,
+                dataclasses.replace(best_cfg, k1_tile=512),
+                audit=audit, resume=resume,
+            )
+    # Wider K1 lane panels (lane_tile=256 doubles the column pass's panel
+    # width, halving its grid): the fused sweep only tries this at small n
+    # (Mosaic stalls at large fused working sets), but a four-step K1 panel
+    # is (n1, t) — small enough that the working set stays safe for every
+    # cached split; VMEM is still checked by plan_works_on_device.
+    if split is not None and best_cfg.lane_tile == 128:
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(best_cfg, lane_tile=256),
             audit=audit, resume=resume,
         )
     if incumbent_cfg is not None and best_cfg != incumbent_cfg:
