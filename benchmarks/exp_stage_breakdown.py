@@ -440,6 +440,20 @@ def main():
         "g_gridslice16": lambda: prod(engine="gridslice16", grouped=True),
         "g_m3_gridslice": lambda: prod(engine="gridslice", grouped=True,
                                        complex_mult="mult3"),
+        # Wider lane panels: the grouped stage-2 matmuls feed only t=128
+        # data columns per (2R, 2R) weight stream — ~20% MXU utilization at
+        # R=256 (g_movement vs g_full says the matmuls cost ~300 us of
+        # UNHIDDEN time).  t=256 doubles the columns per weight stream and
+        # halves the grid.  VMEM is tight (state+tables+blocks ~84-100 MiB),
+        # hence the bf16-state twin; a Mosaic stall here costs one timeout.
+        "g_block_t256": lambda: prod(grouped=True, complex_mult="block",
+                                     lane_tile=256),
+        "g_block_t256_b16": lambda: prod(grouped=True, complex_mult="block",
+                                         lane_tile=256,
+                                         state_dtype="bfloat16"),
+        "g_gs_t256": lambda: prod(engine="gridslice", grouped=True,
+                                  complex_mult="block", lane_tile=256,
+                                  state_dtype="bfloat16"),
     }
     if args.variants:
         keep = set(args.variants.split(","))

@@ -107,3 +107,15 @@ for cfg in "32768 128,256 float32" "32768 128,256 bfloat16" \
 done
 
 echo "=== campaign complete ($(date -u +%H:%M:%S)) ==="
+
+# ------------------------------------------------------------- S1b (appended
+# mid-campaign, byte-safe: pure EOF append).  Wider-lane-panel probes from
+# the S1 attribution: the grouped stage-2 matmuls are weight-fill-bound at
+# t=128 (only ~20% MXU utilization); t=256 doubles the columns per weight
+# stream.  Never swept at 16384 (the fused search space caps lane_tile
+# at n<=4096 for Mosaic-stall safety) — probe with timeouts instead.
+stage_begin "S1b lane_tile=256 probes"
+for v in g_block_t256 g_block_t256_b16 g_gs_t256; do
+  run "s1b_$v" 1150 python benchmarks/exp_stage_breakdown.py \
+      --n 16384 --batch 4096 --variants "$v"
+done
