@@ -454,6 +454,18 @@ def main():
         "g_gs_t256": lambda: prod(engine="gridslice", grouped=True,
                                   complex_mult="block", lane_tile=256,
                                   state_dtype="bfloat16"),
+        # Column widening WITHOUT doubling VMEM: the non-grouped kloop packs
+        # w/128 slices' lanes through ONE shared-BD weight stream (the
+        # grouped fold cannot — per-slice weights).  Trades the ~170 us
+        # twiddle-fold win for 2-4x fewer weight fills on the stage-2 MXU.
+        "kloop_w256": lambda: prod(grouped=False, complex_mult="block",
+                                   kloop_width=256),
+        "kloop_w512": lambda: prod(grouped=False, complex_mult="block",
+                                   kloop_width=512),
+        "kloop_w1024": lambda: prod(grouped=False, complex_mult="block",
+                                    kloop_width=1024),
+        "kloop_w512_m3": lambda: prod(grouped=False, complex_mult="mult3",
+                                      kloop_width=512),
     }
     if args.variants:
         keep = set(args.variants.split(","))

@@ -119,3 +119,13 @@ for v in g_block_t256 g_block_t256_b16 g_gs_t256; do
   run "s1b_$v" 1150 python benchmarks/exp_stage_breakdown.py \
       --n 16384 --batch 4096 --variants "$v"
 done
+
+# ------------------------------------------------------------- S1c (EOF
+# append): shared-weight column widening — the kloop packs w/128 slices per
+# stage-2 matmul (one weight fill per w columns instead of per 128),
+# trading the grouped twiddle-fold for 2-4x fewer MXU weight fills.
+stage_begin "S1c kloop width probes"
+for v in kloop_w256 kloop_w512 kloop_w1024 kloop_w512_m3; do
+  run "s1c_$v" 1150 python benchmarks/exp_stage_breakdown.py \
+      --n 16384 --batch 4096 --variants "$v"
+done
