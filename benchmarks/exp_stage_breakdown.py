@@ -383,6 +383,50 @@ def main():
 
         return kernel
 
+    def make_kloop_wide(g):
+        """Wide shared-weight stage 2 + LANE-SPLIT back to 3D slices.
+
+        The production kloop's width packing appends 4D (2, R, g, mt) slices
+        and pays the measured ~25% 5D-stack interleave penalty; here the
+        wide matmul's output lanes are split back into g 3D slices first, so
+        the interleave runs in the proven 64-way 3D form (~139 us, S1
+        attribution) while each (2R, 2R) weight stream feeds g*128 data
+        columns (fill amortization — the S1-attributed ~307 us matmul cost
+        is fill-bound at 128 columns).  Trades the grouped twiddle fold for
+        a broadcast VPU twiddle pass.
+        """
+
+        def kernel(*refs):
+            re_ref, im_ref = refs[0], refs[1]
+            o_re, o_im = refs[-2], refs[-1]
+            bd1, bd2, w_re_r, w_im_r = refs[2], refs[3], refs[4], refs[5]
+            state = jnp.stack([re_ref[:], im_ref[:]])
+            state, _ = fused_pallas.stage_loop(
+                state, [bd1], (r1,), "bf16", n, t)
+            bd = bd2[:]
+            w4r = w_re_r[:].T[:, :, None]  # (K, R, 1)
+            w4i = w_im_r[:].T[:, :, None]
+            zv = state.reshape(2, k, r2, mt)
+            tw_re = (zv[0] * w4r - zv[1] * w4i).astype(jnp.float32)
+            tw_im = (zv[0] * w4i + zv[1] * w4r).astype(jnp.float32)
+            outs = []
+            for gi in range(k // g):
+                wide_re = jnp.concatenate(
+                    [tw_re[gi * g + j] for j in range(g)], 1)
+                wide_im = jnp.concatenate(
+                    [tw_im[gi * g + j] for j in range(g)], 1)
+                z_wide = jnp.concatenate([wide_re, wide_im], axis=0)
+                out_g = dots.dot(bd, z_wide, "bf16")
+                for j in range(g):
+                    outs.append(out_g[:, j * mt:(j + 1) * mt]
+                                .reshape(2, r2, mt))
+            out = jnp.stack(outs, axis=2)
+            state2 = out.reshape(2, r2 * k, mt)
+            o_re[:] = state2[0].reshape(n, t).astype(o_re.dtype)
+            o_im[:] = state2[1].reshape(n, t).astype(o_im.dtype)
+
+        return kernel
+
     import functools
 
     def prod(**kw):
@@ -466,6 +510,10 @@ def main():
                                     kloop_width=1024),
         "kloop_w512_m3": lambda: prod(grouped=False, complex_mult="mult3",
                                       kloop_width=512),
+        "kws2": lambda: call(make_kloop_wide(2), tables_full),
+        "kws4": lambda: call(make_kloop_wide(4), tables_full),
+        "kws8": lambda: call(make_kloop_wide(8), tables_full),
+        "kws16": lambda: call(make_kloop_wide(16), tables_full),
     }
     if args.variants:
         keep = set(args.variants.split(","))

@@ -129,3 +129,13 @@ for v in kloop_w256 kloop_w512 kloop_w1024 kloop_w512_m3; do
   run "s1c_$v" 1150 python benchmarks/exp_stage_breakdown.py \
       --n 16384 --batch 4096 --variants "$v"
 done
+
+# ------------------------------------------------------------- S1d (EOF
+# append): wide shared-weight matmuls with LANE-SPLIT back to 3D slices —
+# fill amortization without the 5D-stack penalty (see exp_stage_breakdown
+# make_kloop_wide).
+stage_begin "S1d kloop wide + lane-split probes"
+for v in kws2 kws4 kws8 kws16; do
+  run "s1d_$v" 1150 python benchmarks/exp_stage_breakdown.py \
+      --n 16384 --batch 4096 --variants "$v"
+done
