@@ -59,10 +59,13 @@ retry "s7_2p20_b16" 2400 python benchmarks/run_tuner.py \
 
 # ---------------------------------------------------------------- S8
 stage_begin "S8 four-step full sweeps 2^17..2^24 (audit dumps)"
+# --batch-elems 2^24 matches the bench-protocol batches the cache entries
+# were tuned at (b=128 @ 2^17 ... b=1 @ 2^24) — the run_tuner default (2^22)
+# would silently retune at 4x smaller batches.
 n=131072
 while [ $n -le 16777216 ]; do
   retry "s8_tune_$n" 3600 python benchmarks/run_tuner.py \
-      --start $n --end $n
+      --start $n --end $n --batch-elems $((1 << 24))
   n=$((n * 2))
 done
 

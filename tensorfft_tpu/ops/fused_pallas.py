@@ -577,13 +577,21 @@ def stage_loop(state, table_refs, radices, algorithm, n, t, ti=0,
                 else:
                     z_wide = jnp.concatenate([wide_re, wide_im], axis=0)
                     out_g = dots.dot(bd, z_wide, algorithm).astype(od)
-                # g == 1 keeps slices 3D: a trailing singleton group axis
-                # (5D stack) makes Mosaic lower the interleave ~25% slower
-                # for the whole kernel (measured 1939 vs 1516 us at
-                # N=16384/b=4096 — shape-identical math, different layout
-                # pass).
-                outs.append(out_g.reshape(2, radix, m * t) if g == 1
-                            else out_g.reshape(2, radix, g, m * t))
+                # Slices stay 3D in ALL width modes: a g > 1 wide matmul's
+                # output lanes are SPLIT back into g (2, R, m*t) slices
+                # (lane slicing at m*t multiples is free — no relayout)
+                # instead of parking a trailing group axis.  The 4D/5D-pack
+                # form lost every hardware measurement (round-3: 1939 vs
+                # 1516 us; round-4 S1c: kloop_width=256/512 at 2749/2418 vs
+                # 1250 us full — the 5D stack's sublane shuffle swamps the
+                # weight-fill saving), while the lane-split keeps the proven
+                # 64-way 3D interleave AND the per-weight-fill column width.
+                og = out_g.reshape(2, radix, g * m * t)
+                if g == 1:
+                    outs.append(og)
+                else:
+                    outs.extend(og[:, :, j * m * t:(j + 1) * m * t]
+                                for j in range(g))
             if emit_slices and i == last_i:
                 return outs, ti
             out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=2)

@@ -75,10 +75,15 @@ __all__ = ["pack_split", "interleave_split", "untangle_fwd", "retangle_inv",
 #: MAC count scales linearly with this, so small is fast.
 LANE_TILE = 256
 #: target big-block width in lanes (amortizes grid-step DMA issue overhead).
-LANE_BLOCK_TARGET = 4096
+#: Round-4 floor sweep at N=2^20/b=16 (results/RESULTS.md R4-S3): 16384 with
+#: stack_rows=4096 wins both kernels decisively (pack_rt 256->197 us,
+#: untangle_rt 297->243 us = 1.07x its own copy floor) — fewer grid steps
+#: beat smaller VMEM temps on this backend.
+LANE_BLOCK_TARGET = 16384
 #: cap on stacked matmul rows (2*K*bt for untangle/retangle, K*bt for
-#: pack/interleave) — past full MXU occupancy more K only grows VMEM temps.
-MAX_STACK_ROWS = 1024
+#: pack/interleave) — past full MXU occupancy more K only grows VMEM temps,
+#: but the DMA-issue saving dominates up to 4096 (same sweep).
+MAX_STACK_ROWS = 4096
 
 
 def _interpret_default() -> bool:
