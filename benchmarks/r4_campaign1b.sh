@@ -70,3 +70,19 @@ for spec in "32768 512" "65536 256"; do
 done
 
 echo "=== campaign 1b complete ($(date -u +%H:%M:%S)) ==="
+
+# ------------------------------------------------------------- S2c (EOF
+# append, running-script-safe): headline challenge retunes under the NEW
+# joint lane_tile=256 + bf16-state fused twin (tuner.py round-4 addition —
+# the S1 attribution's weight-fill lever that keeps the grouped fold).
+stage_begin "S2c headline challenge retunes (wide-lane fused twin)"
+for n in 8192 16384; do
+  for att in 1 2 3; do
+    timeout 2400 python benchmarks/run_tuner.py --start $n --end $n \
+        --batch 4096 --challenge-only > "$LOG/s2c_$n.log" 2>&1 && break
+    echo "[fail] s2c_$n attempt $att"; sleep 90
+  done
+  tail -2 "$LOG/s2c_$n.log"
+done
+
+echo "=== campaign 1b (with S2c) complete ($(date -u +%H:%M:%S)) ==="

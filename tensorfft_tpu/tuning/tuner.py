@@ -777,6 +777,22 @@ def tune(
             dataclasses.replace(best_cfg, lane_tile=256),
             audit=audit, resume=resume,
         )
+    # Fused wide-lane challenge (round-4): the structural sweep caps fused
+    # lane_tile at n <= 4096 (Mosaic-stall safety), but the round-4 S1
+    # attribution shows the big-n grouped stage-2 is WEIGHT-FILL-bound at
+    # 128 data columns per (2R, 2R) folded table — lane_tile=256 doubles the
+    # columns each weight fill feeds without giving up the twiddle fold.
+    # Only feasible jointly with bf16 state (f32 at t=256 exceeds the VMEM
+    # budget; plan_works_on_device inside the twin guards either way), so
+    # the challenger flips both knobs together.
+    if (split is None and best_cfg.strategy == "fused"
+            and n > 4096 and best_cfg.lane_tile == 128):
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(best_cfg, lane_tile=256,
+                                state_dtype="bfloat16"),
+            audit=audit, resume=resume,
+        )
     if incumbent_cfg is not None and best_cfg != incumbent_cfg:
         # Same decision rule as the historical inline guard: the challenger
         # replaces the incumbent only by winning the interleaved compare.
