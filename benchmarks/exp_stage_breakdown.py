@@ -498,6 +498,20 @@ def main():
         "g_gs_t256": lambda: prod(engine="gridslice", grouped=True,
                                   complex_mult="block", lane_tile=256,
                                   state_dtype="bfloat16"),
+        # UNGROUPED t256 (round-4 S1b3): the grouped t256 probes all die in
+        # the Mosaic allocator even at 120 MiB — the k x (2R, 2R) fold
+        # tables (~32-64 MiB) push past the cap.  The broadcast-twiddle
+        # kloop's tables are tiny (one (2R, 2R) block + (K, R) twiddles), so
+        # t256 fits with bf16 state: 256 data columns per weight fill AND
+        # half the grid steps, at the cost of the VPU twiddle pass.
+        "kloop_t256_b16": lambda: prod(grouped=False, complex_mult="block",
+                                       lane_tile=256,
+                                       state_dtype="bfloat16"),
+        "kloop_t256_b16_w512": lambda: prod(grouped=False,
+                                            complex_mult="block",
+                                            lane_tile=256,
+                                            state_dtype="bfloat16",
+                                            kloop_width=512),
         # Column widening WITHOUT doubling VMEM: the non-grouped kloop packs
         # w/128 slices' lanes through ONE shared-BD weight stream (the
         # grouped fold cannot — per-slice weights).  Trades the ~170 us

@@ -86,3 +86,14 @@ for n in 8192 16384; do
 done
 
 echo "=== campaign 1b (with S2c) complete ($(date -u +%H:%M:%S)) ==="
+
+# ------------------------------------------------------------- S1b3 (EOF
+# append): ungrouped t256 — the grouped t256 probes die in the allocator
+# (fold tables ~32-64 MiB); the broadcast-twiddle kloop's tables are tiny,
+# so wide lanes fit with bf16 state.
+stage_begin "S1b3 ungrouped lane_tile=256 probes"
+for v in kloop_t256_b16 kloop_t256_b16_w512; do
+  run "s1b3_$v" 1150 python benchmarks/exp_stage_breakdown.py \
+      --n 16384 --batch 4096 --variants "$v"
+done
+echo "=== campaign 1b (with S1b3) complete ($(date -u +%H:%M:%S)) ==="
