@@ -97,3 +97,16 @@ for v in kloop_t256_b16 kloop_t256_b16_w512; do
       --n 16384 --batch 4096 --variants "$v"
 done
 echo "=== campaign 1b (with S1b3) complete ($(date -u +%H:%M:%S)) ==="
+
+# ------------------------------------------------------------- S2b2 (EOF
+# append): re-sweep 32768 under the candidate fix that adds big-first
+# two-stage orders — the midn probe's (256,128)+bf16 winner (548 us) was
+# missing from the enumeration the S2b sweep ran with.
+stage_begin "S2b2 32768 re-sweep with (256,128) candidates"
+for att in 1 2 3; do
+  timeout 3600 python benchmarks/run_tuner.py --start 32768 --end 32768 \
+      --batch 512 > "$LOG/s2b2_32768.log" 2>&1 && break
+  echo "[fail] s2b2_32768 attempt $att"; sleep 90
+done
+tail -2 "$LOG/s2b2_32768.log"
+echo "=== campaign 1b (with S2b2) complete ($(date -u +%H:%M:%S)) ==="

@@ -285,6 +285,15 @@ def get_search_space(n: int, max_fused_length: int = DEFAULT_MAX_FUSED_LENGTH) -
             fused_cands = sorted(
                 _radix_candidates(n), key=lambda r: (len(r), n // r[-1])
             )[:3]
+            # Big-first orders of the two-stage candidates: the round-4
+            # mid-N probe measured (256, 128) at 548 us vs (128, 256) at
+            # 599 at n=32768 — a small LAST radix wins even though it
+            # doubles the final interleave's slice count, and the candidate
+            # enumeration only emits the small-first order.
+            for r in list(fused_cands):
+                rev = tuple(reversed(r))
+                if len(r) == 2 and r[0] != r[1] and rev not in fused_cands:
+                    fused_cands.append(rev)
             space["fused_bign"] = {
                 "radices": fused_cands,
                 "max_fused_length": n,
