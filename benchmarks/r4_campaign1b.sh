@@ -62,7 +62,7 @@ for spec in "32768 512" "65536 256"; do
   set -- $spec
   n=$1; b=$2
   for att in 1 2 3; do
-    timeout 3000 python benchmarks/run_tuner.py --start $n --end $n \
+    timeout 5400 python benchmarks/run_tuner.py --start $n --end $n \
         --batch $b > "$LOG/s2b_$n.log" 2>&1 && break
     echo "[fail] s2b_$n attempt $att"; sleep 90
   done
@@ -104,7 +104,7 @@ echo "=== campaign 1b (with S1b3) complete ($(date -u +%H:%M:%S)) ==="
 # missing from the enumeration the S2b sweep ran with.
 stage_begin "S2b2 32768 re-sweep with (256,128) candidates"
 for att in 1 2 3; do
-  timeout 3600 python benchmarks/run_tuner.py --start 32768 --end 32768 \
+  timeout 5400 python benchmarks/run_tuner.py --start 32768 --end 32768 \
       --batch 512 > "$LOG/s2b2_32768.log" 2>&1 && break
   echo "[fail] s2b2_32768 attempt $att"; sleep 90
 done

@@ -44,9 +44,12 @@ def main():
         resume_path = (None if args.no_resume else
                        f"/tmp/tfft_tuner/resume_{mode}_n{n}_b{batch}_"
                        f"{args.precision}.jsonl")
-        # challenge-only rounds don't overwrite the full sweep audit table
+        # challenge-only dumps go to tuner_data_<n>_challenge.dat so they
+        # never clobber a full structural-sweep audit table — but they DO
+        # get written (round-3 verdict item 8: every cache winner needs
+        # committed per-config evidence).
         entry = tune(n, batch=batch, precision=args.precision, cache=cache,
-                     dump_dir=None if args.challenge_only else args.dump_dir,
+                     dump_dir=args.dump_dir,
                      challenge_only=args.challenge_only,
                      resume_path=resume_path)
         print(f"N={n:>9d}: best {entry}")

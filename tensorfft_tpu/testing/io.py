@@ -136,19 +136,22 @@ def write_bench_table(path, rows: Sequence[dict]):
     Path(str(path) + ".json").write_text(json.dumps(list(rows), indent=1))
 
 
-def write_tuner_data(n, batch, precision, audit, winner_tuning, dump_dir):
+def write_tuner_data(n, batch, precision, audit, winner_tuning, dump_dir,
+                     tag=""):
     """Full per-config tuner measurement table (TunerData_<N>.dat analog,
     FileWriter.h:227-248).
 
     ``audit`` rows are (RunConfig, time_ns, sigma_ns, phase) in measurement
     order — the whole sweep plus every head-to-head arm and the incumbent
     guard — so the winning cache entry is auditable after the fact (round-2
-    verdict item 6).  Writes ``tuner_data_<n>.dat`` (+ JSON sidecar) in
-    ``dump_dir``; returns the path.
+    verdict item 6).  Writes ``tuner_data_<n><tag>.dat`` (+ JSON sidecar) in
+    ``dump_dir``; returns the path.  ``tag`` keeps challenge-only retune
+    dumps (a handful of twin rows) from clobbering a full structural-sweep
+    table at the same length.
     """
     dump_dir = Path(dump_dir)
     dump_dir.mkdir(parents=True, exist_ok=True)
-    path = dump_dir / f"tuner_data_{n}.dat"
+    path = dump_dir / f"tuner_data_{n}{tag}.dat"
     rows = []
     for cfg, t_ns, s_ns, phase in audit:
         tuning = cfg.as_tuning() if hasattr(cfg, "as_tuning") else dict(cfg)

@@ -822,7 +822,8 @@ def tune(
         from tensorfft_tpu.testing.io import write_tuner_data
 
         write_tuner_data(n, batch, precision, audit, best_cfg.as_tuning(),
-                         dump_dir)
+                         dump_dir,
+                         tag="_challenge" if challenge_only else "")
     if cache is not None:
         platform = jax.devices()[0].platform
         cache.put(n, precision, platform, entry_out, batch=batch)
