@@ -28,14 +28,29 @@ def main():
                     help="skip the structural sweep; re-measure the cached "
                          "incumbent and run only the knob head-to-heads "
                          "(cheap retune after a shared-engine change)")
+    ap.add_argument("--extra-configs", default=None,
+                    help="JSON list of tuning dicts appended as explicit "
+                         "structural challengers (e.g. a single-pass fused "
+                         "candidate at a four-step incumbent's length)")
+    ap.add_argument("--seed-precision", default=None,
+                    help="with --challenge-only and no cached incumbent at "
+                         "--precision, start from this policy's winner "
+                         "structure (float32 tuning seeds from bfloat16)")
     ap.add_argument("--no-resume", action="store_true",
                     help="disable the per-measurement resume journal "
                          "(/tmp/tfft_tuner) that lets a killed sweep restart "
                          "where it died")
     args = ap.parse_args()
 
-    from tensorfft_tpu.tuning import TunerCache, tune
+    import json
 
+    from tensorfft_tpu.tuning import TunerCache, tune
+    from tensorfft_tpu.tuning.tuner import _config_from_entry
+
+    extras = None
+    if args.extra_configs:
+        extras = [_config_from_entry(d)
+                  for d in json.loads(args.extra_configs)]
     cache = TunerCache(args.cache) if args.cache else TunerCache()
     n = args.start
     while n <= args.end:
@@ -51,7 +66,10 @@ def main():
         entry = tune(n, batch=batch, precision=args.precision, cache=cache,
                      dump_dir=args.dump_dir,
                      challenge_only=args.challenge_only,
-                     resume_path=resume_path)
+                     resume_path=resume_path,
+                     extra_configs=extras,
+                     seed_precision=args.seed_precision,
+                     dump_tag=f"_b{batch}" if args.batch else "")
         print(f"N={n:>9d}: best {entry}")
         cache.save()
         n *= 2

@@ -602,6 +602,9 @@ def tune(
     dump_dir=None,
     challenge_only: bool = False,
     resume_path=None,
+    extra_configs: Optional[List["RunConfig"]] = None,
+    seed_precision: Optional[str] = None,
+    dump_tag: str = "",
 ) -> dict:
     """Tune one fft_length and (optionally) persist the winner to ``cache``.
 
@@ -625,6 +628,16 @@ def tune(
 
     ``resume_path`` journals every measurement (ResumeLog) so a killed
     sweep restarts where it died — required discipline on this tunnel.
+
+    ``extra_configs`` appends explicit structural challengers to whatever
+    the mode would measure — the cheap way to put ONE targeted candidate
+    (e.g. a single-pass fused plan at a four-step incumbent's length) in
+    front of the decision machinery without paying a full sweep.
+
+    ``seed_precision`` lets a policy without any cached entry start a
+    ``challenge_only`` retune from ANOTHER policy's winner structure (the
+    float32 bf16x3 policy seeds from the bfloat16 winner): the seed is just
+    the first measured config, not a protected incumbent.
     """
     import jax
 
@@ -635,6 +648,17 @@ def tune(
         entry = cache.get(n, precision, platform, batch=batch)
         if entry:
             incumbent_cfg = _config_from_entry(entry)
+        elif seed_precision is not None:
+            seed = cache.get(n, seed_precision, platform, batch=batch)
+            if seed:
+                incumbent_cfg = _config_from_entry(seed)
+    if (incumbent_cfg is not None and precision != "bfloat16"
+            and incumbent_cfg.state_dtype == "bfloat16"):
+        # Off-policy bf16 state (see the config sanitizer below) must also
+        # leave the incumbent/seed, or the final incumbent-guard would
+        # reinstate it.
+        incumbent_cfg = dataclasses.replace(
+            incumbent_cfg, state_dtype="float32")
     if challenge_only:
         if incumbent_cfg is None:
             raise ValueError(
@@ -645,21 +669,34 @@ def tune(
         configs = get_run_configs(space)
         if incumbent_cfg is not None and incumbent_cfg not in configs:
             configs.append(incumbent_cfg)
+    for cfg in extra_configs or []:
+        if cfg not in configs:
+            configs.append(cfg)
+    if precision != "bfloat16":
+        # bf16 in-VMEM state under the split-compensation policies would
+        # silently discard the compensation the policy exists for; the tuner
+        # decides on speed alone, so never offer that twin off-policy.
+        configs = list(dict.fromkeys(
+            dataclasses.replace(c, state_dtype="float32")
+            if c.state_dtype == "bfloat16" else c
+            for c in configs
+        ))
     results = run_bench_over_search_space(
         n, configs, batch=batch, precision=precision,
         measure_kwargs=measure_kwargs, resume=resume,
     )
     audit = [(cfg, t, s, "sweep") for cfg, t, s in results]
     best_cfg, best_ns, _ = min(results, key=lambda r: r[1])
-    best_cfg, best_ns = _twin_head_to_head(
-        n, best_cfg, best_ns, batch, precision,
-        dataclasses.replace(
-            best_cfg,
-            state_dtype="bfloat16" if best_cfg.state_dtype == "float32"
-            else "float32",
-        ),
-        audit=audit, resume=resume,
-    )
+    if precision == "bfloat16" or best_cfg.state_dtype != "float32":
+        best_cfg, best_ns = _twin_head_to_head(
+            n, best_cfg, best_ns, batch, precision,
+            dataclasses.replace(
+                best_cfg,
+                state_dtype="bfloat16" if best_cfg.state_dtype == "float32"
+                else "float32",
+            ),
+            audit=audit, resume=resume,
+        )
     # Alternative in-VMEM engines back both the fused kernel and the
     # four-step pass kernels: 'planar' (separate re/im planes, twiddle-
     # folded constants).  'pretwiddle' is not challenged: the stacked
@@ -795,7 +832,8 @@ def tune(
     # budget; plan_works_on_device inside the twin guards either way), so
     # the challenger flips both knobs together.
     if (split is None and best_cfg.strategy == "fused"
-            and n > 4096 and best_cfg.lane_tile == 128):
+            and n > 4096 and best_cfg.lane_tile == 128
+            and precision == "bfloat16"):
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(best_cfg, lane_tile=256,
@@ -821,9 +859,13 @@ def tune(
     if dump_dir is not None:
         from tensorfft_tpu.testing.io import write_tuner_data
 
+        # Non-headline-policy and batch-specific tables get their own
+        # filenames so they never clobber the committed headline evidence.
+        tag = "" if precision == "bfloat16" else f"_{precision}"
+        tag += dump_tag
+        tag += "_challenge" if challenge_only else ""
         write_tuner_data(n, batch, precision, audit, best_cfg.as_tuning(),
-                         dump_dir,
-                         tag="_challenge" if challenge_only else "")
+                         dump_dir, tag=tag)
     if cache is not None:
         platform = jax.devices()[0].platform
         cache.put(n, precision, platform, entry_out, batch=batch)

@@ -159,6 +159,69 @@ def test_tune_challenges_k1_tile_for_four_step(tmp_path, monkeypatch):
     assert all(a.k1_tile == 128 for a in offered)
 
 
+def test_tune_extra_configs_challenge_mode(tmp_path, monkeypatch):
+    # extra_configs puts explicit structural challengers (e.g. the 32768
+    # single-pass fused candidate at a four-step incumbent's length) in
+    # front of the decision machinery without paying a full sweep.
+    import tensorfft_tpu.tuning.tuner as T
+
+    measured = []
+    monkeypatch.setattr(
+        T, "_twin_head_to_head",
+        lambda n, b, bn, ba, pr, alt, **kw: (b, bn))
+    monkeypatch.setattr(
+        T, "run_bench_over_search_space",
+        lambda n, configs, **kw: [
+            (measured.append(c) or c, float(i + 1), 0.0)
+            for i, c in enumerate(configs)],
+    )
+    cache = TunerCache(tmp_path / "cache.json")
+    cache.put(32768, "bfloat16", "cpu",
+              {"strategy": "four_step", "four_step_split": [128, 256]},
+              batch=512)
+    extra = T._config_from_entry(
+        {"strategy": "fused", "radices": [256, 128],
+         "max_fused_length": 32768, "state_dtype": "bfloat16"})
+    T.tune(32768, batch=512, precision="bfloat16", cache=cache,
+           challenge_only=True, extra_configs=[extra])
+    assert extra in measured and len(measured) == 2
+
+
+def test_tune_seed_precision(tmp_path, monkeypatch):
+    # A policy with no cached entry can seed a challenge-only retune from
+    # another policy's winner structure; the winner persists under the
+    # TARGET precision.  Off-policy bf16 state is sanitized out of the seed
+    # and the bf16-state twin is never offered under float32.
+    import tensorfft_tpu.tuning.tuner as T
+
+    offered = []
+
+    def fake_h2h(n, best_cfg, best_ns, batch, precision, alt, **kw):
+        offered.append(alt)
+        return best_cfg, best_ns
+
+    monkeypatch.setattr(T, "_twin_head_to_head", fake_h2h)
+    monkeypatch.setattr(
+        T, "run_bench_over_search_space",
+        lambda n, configs, **kw: [(c, float(i + 1), 0.0)
+                                  for i, c in enumerate(configs)],
+    )
+    cache = TunerCache(tmp_path / "cache.json")
+    with pytest.raises(ValueError, match="incumbent"):
+        T.tune(65536, batch=256, precision="float32", cache=cache,
+               challenge_only=True)
+    cache.put(65536, "bfloat16", "cpu",
+              {"strategy": "four_step", "four_step_split": [128, 512],
+               "grouped": True, "state_dtype": "bfloat16"},
+              batch=256)
+    entry = T.tune(65536, batch=256, precision="float32", cache=cache,
+                   challenge_only=True, seed_precision="bfloat16")
+    assert entry["strategy"] == "four_step"
+    assert entry.get("state_dtype", "float32") == "float32"
+    assert cache.get(65536, "float32", "cpu", batch=256) is not None
+    assert all(a.state_dtype != "bfloat16" for a in offered)
+
+
 def test_resume_log_replay(tmp_path):
     # The resume journal lets a killed sweep restart where it died (the
     # TPU tunnel wedges under sustained load; a wedge must cost one data
