@@ -58,6 +58,19 @@ retry "s7_16384_b1024" 2700 python benchmarks/run_tuner.py \
 retry "s7_8192_b2048" 2700 python benchmarks/run_tuner.py \
     --start 8192 --end 8192 --batch 2048 --challenge-only
 
+# ---------------------------------------------------------------- S15
+# The one untried headline lever (S1b3, queued in round-4 part 1b but never
+# run): UNGROUPED broadcast-twiddle kloop at lane_tile=256 + bf16 state —
+# 256 data columns per shared (2R, 2R) weight fill, half the grid steps,
+# tiny tables (the grouped t256 twin died in the Mosaic allocator on its
+# ~32-64 MiB fold tables).  Decision-grade via the tuner's extra-configs at
+# the headline batch; a win rewrites the blind 16384 entry (b=4096
+# promotes) and bench.py picks it up.
+stage_begin "S15 16384 ungrouped t256 headline challengers"
+retry "s15_16384_t256" 4800 python benchmarks/run_tuner.py \
+    --start 16384 --end 16384 --batch 4096 --challenge-only \
+    --extra-configs '[{"strategy":"fused","radices":[64,256],"lane_tile":256,"state_dtype":"bfloat16"},{"strategy":"fused","radices":[64,256],"lane_tile":256,"state_dtype":"bfloat16","kloop_width":512},{"strategy":"fused","radices":[256,64],"lane_tile":256,"state_dtype":"bfloat16"}]'
+
 # ---------------------------------------------------------------- SM
 stage_begin "SM 32768 fused-vs-four-step decision"
 retry "sm_32768" 3600 python benchmarks/run_tuner.py \
