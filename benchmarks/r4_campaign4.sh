@@ -102,6 +102,22 @@ stage_begin "S14 bench refresh 4096..65536 (S7/SM winners)"
 retry "s14_bench_small" 2400 python benchmarks/run_bench.py --start 4096 \
     --end 65536 --use-cache --out results/bench_sweep_tpu.part1.dat
 
+# ---------------------------------------------------------------- S13
+# Headline stability evidence under whatever winners the cache holds by
+# now — three consecutive bench.py runs (before the long-tail stages so a
+# wall-clock cut keeps them).
+stage_begin "S13 bench.py x3"
+if ! grep -q DONE "$LOG/s13.done" 2>/dev/null; then
+  for i in 1 2 3; do
+    for att in 1 2 3; do
+      timeout 1800 python bench.py > "$LOG/s13_bench_$i.json" 2> "$LOG/s13_bench_$i.err" && break
+      echo "[fail] bench run $i attempt $att"; sleep 90
+    done
+    tail -1 "$LOG/s13_bench_$i.json"
+  done
+  echo DONE > "$LOG/s13.done"
+fi
+
 # ---------------------------------------------------------------- S8
 stage_begin "S8 four-step range challenge retunes + audit dumps"
 for n in 131072 262144 524288 1048576 2097152 4194304 8388608 16777216; do
