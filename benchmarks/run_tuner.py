@@ -36,6 +36,12 @@ def main():
                     help="with --challenge-only and no cached incumbent at "
                          "--precision, start from this policy's winner "
                          "structure (float32 tuning seeds from bfloat16)")
+    ap.add_argument("--extras-only", action="store_true",
+                    help="with --challenge-only: measure ONLY the incumbent "
+                         "and --extra-configs (plus the incumbent guard), "
+                         "skipping the knob-twin ladder — for deciding "
+                         "explicit structural challengers whose knob twins "
+                         "already have a committed challenge dump")
     ap.add_argument("--no-resume", action="store_true",
                     help="disable the per-measurement resume journal "
                          "(/tmp/tfft_tuner) that lets a killed sweep restart "
@@ -69,6 +75,7 @@ def main():
                      resume_path=resume_path,
                      extra_configs=extras,
                      seed_precision=args.seed_precision,
+                     skip_knob_challenges=args.extras_only,
                      dump_tag=f"_b{batch}" if args.batch else "")
         print(f"N={n:>9d}: best {entry}")
         cache.save()

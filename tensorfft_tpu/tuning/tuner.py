@@ -605,6 +605,7 @@ def tune(
     extra_configs: Optional[List["RunConfig"]] = None,
     seed_precision: Optional[str] = None,
     dump_tag: str = "",
+    skip_knob_challenges: bool = False,
 ) -> dict:
     """Tune one fft_length and (optionally) persist the winner to ``cache``.
 
@@ -633,6 +634,13 @@ def tune(
     the mode would measure — the cheap way to put ONE targeted candidate
     (e.g. a single-pass fused plan at a four-step incumbent's length) in
     front of the decision machinery without paying a full sweep.
+
+    ``skip_knob_challenges=True`` measures ONLY the sweep-phase configs
+    (incumbent + ``extra_configs``) plus the final incumbent guard — the
+    cheap way to decide explicit structural challengers whose knob twins
+    were already settled by a committed challenge dump (round-4 S15: the
+    full twin ladder re-measures ~6 settled head-to-heads per run on a
+    tunnel where each compile costs minutes).
 
     ``seed_precision`` lets a policy without any cached entry start a
     ``challenge_only`` retune from ANOTHER policy's winner structure (the
@@ -687,7 +695,8 @@ def tune(
     )
     audit = [(cfg, t, s, "sweep") for cfg, t, s in results]
     best_cfg, best_ns, _ = min(results, key=lambda r: r[1])
-    if precision == "bfloat16" or best_cfg.state_dtype != "float32":
+    if not skip_knob_challenges and (
+            precision == "bfloat16" or best_cfg.state_dtype != "float32"):
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(
@@ -719,7 +728,7 @@ def tune(
             split = None
     from tensorfft_tpu.ops.fused_pallas import gridslice_layout
 
-    engine_alts = ["stacked", "planar"]
+    engine_alts = [] if skip_knob_challenges else ["stacked", "planar"]
     gs_quals = []
     if best_cfg.strategy == "fused":
         s_tot = gridslice_layout(tuple(best_cfg.radices or
@@ -738,7 +747,7 @@ def tune(
                 s_tot = gridslice_layout(rads, best_cfg.grouped)
                 if s_tot is not None:
                     gs_quals.append(s_tot)
-    if gs_quals:
+    if gs_quals and not skip_knob_challenges:
         engine_alts.append("gridslice")
         if any(q % 16 == 0 for q in gs_quals):
             # tile-aligned chunked stores (C-way per-step interleave
@@ -764,7 +773,7 @@ def tune(
         stage_radices += list(rads or ())
     if not best_cfg.radices and not best_cfg.four_step_split:
         stage_radices += list(optimal_radices(n))
-    if any(r >= 128 for r in stage_radices):
+    if not skip_knob_challenges and any(r >= 128 for r in stage_radices):
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(
@@ -777,7 +786,7 @@ def tune(
     # kloop_width doubles how many twiddled slices pack into one stage
     # matmul (fewer MXU pipeline fills per kloop stage); only fused-path
     # kernels consume it.
-    if best_cfg.strategy == "fused":
+    if not skip_knob_challenges and best_cfg.strategy == "fused":
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(
@@ -798,7 +807,7 @@ def tune(
     # verdict's four-step ask names k1_tile=512 explicitly, so the challenge
     # is a LADDER: after 256 beats 128, 512 challenges 256 (each rung
     # guarded by plan_works_on_device inside _twin_head_to_head).
-    if split is not None and split[0] >= 256:
+    if not skip_knob_challenges and split is not None and split[0] >= 256:
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(
@@ -817,7 +826,8 @@ def tune(
     # (Mosaic stalls at large fused working sets), but a four-step K1 panel
     # is (n1, t) — small enough that the working set stays safe for every
     # cached split; VMEM is still checked by plan_works_on_device.
-    if split is not None and best_cfg.lane_tile == 128:
+    if (not skip_knob_challenges and split is not None
+            and best_cfg.lane_tile == 128):
         best_cfg, best_ns = _twin_head_to_head(
             n, best_cfg, best_ns, batch, precision,
             dataclasses.replace(best_cfg, lane_tile=256),
@@ -831,7 +841,8 @@ def tune(
     # Only feasible jointly with bf16 state (f32 at t=256 exceeds the VMEM
     # budget; plan_works_on_device inside the twin guards either way), so
     # the challenger flips both knobs together.
-    if (split is None and best_cfg.strategy == "fused"
+    if (not skip_knob_challenges and split is None
+            and best_cfg.strategy == "fused"
             and n > 4096 and best_cfg.lane_tile == 128
             and precision == "bfloat16"):
         best_cfg, best_ns = _twin_head_to_head(
