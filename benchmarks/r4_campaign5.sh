@@ -97,15 +97,20 @@ retry "sf_f32_4096" 2400 python benchmarks/run_tuner.py \
 # ---------------------------------------------------------------- S13
 stage_begin "S13 bench.py x3"
 if ! grep -q DONE "$LOG/s13.done" 2>/dev/null; then
+  s13_ok=1
   for i in 1 2 3; do
     if past_deadline; then echo "[stop] s13 (deadline)"; exit 0; fi
+    run_ok=0
     for att in 1 2 3; do
-      timeout 1500 python bench.py > "$LOG/s13_bench_$i.json" 2> "$LOG/s13_bench_$i.err" && break
+      timeout 1500 python bench.py > "$LOG/s13_bench_$i.json" 2> "$LOG/s13_bench_$i.err" && { run_ok=1; break; }
       echo "[fail] bench run $i attempt $att"; sleep 60
     done
+    [ "$run_ok" = 1 ] || s13_ok=0
     tail -1 "$LOG/s13_bench_$i.json"
   done
-  echo DONE > "$LOG/s13.done"
+  # only mark done when all three runs produced output, so a relaunch
+  # retries a fully-failed stage instead of skipping it silently
+  [ "$s13_ok" = 1 ] && echo DONE > "$LOG/s13.done"
 fi
 
 # ---------------------------------------------------------------- SM

@@ -25,8 +25,15 @@ def main():
                          "median (cross-window drift reaches tens of percent "
                          "on the shared relay — single windows are not "
                          "decision-grade)")
-    ap.add_argument("--out", default="BenchResults.dat")
+    ap.add_argument("--baseline", default=None, choices=["staged", "xla"],
+                    help="bench a BASELINE strategy instead of the tuned "
+                         "library path (the reference benches its baseline, "
+                         "cuFFT, at every length as a separate driver — "
+                         "CuFFTBenchSingle.cu:10-40).  'staged' is the "
+                         "plain-XLA stage loop; ignores the tuner cache")
     args = ap.parse_args()
+    if args.baseline and args.use_cache:
+        ap.error("--baseline ignores the tuner cache; drop --use-cache")
 
     import jax
     import jax.numpy as jnp
@@ -49,7 +56,12 @@ def main():
             cache.get(n, args.precision, platform, batch=batch)
             if cache else None
         )
-        plan = tfft.create_plan(n, precision=args.precision, tuning=tuning)
+        if args.baseline:
+            plan = tfft.create_plan(n, precision=args.precision,
+                                    strategy=args.baseline)
+        else:
+            plan = tfft.create_plan(n, precision=args.precision,
+                                    tuning=tuning)
         rng = np.random.default_rng(0)
         re = jnp.asarray(rng.standard_normal((batch, n)), storage)
         im = jnp.asarray(rng.standard_normal((batch, n)), storage)

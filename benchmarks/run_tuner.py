@@ -47,6 +47,11 @@ def main():
                          "(/tmp/tfft_tuner) that lets a killed sweep restart "
                          "where it died")
     args = ap.parse_args()
+    if args.extras_only and not args.challenge_only:
+        # Alone it would run a full structural sweep with every twin/engine
+        # head-to-head guard disabled, crowning a raw sequential-sweep
+        # minimum (round-4 advisor finding).
+        ap.error("--extras-only requires --challenge-only")
 
     import json
 

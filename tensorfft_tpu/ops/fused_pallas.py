@@ -135,6 +135,46 @@ def _stage_kinds(radices, grouped: bool):
         k *= radix
 
 
+def stage_table_bytes(radices, grouped: bool, algorithm: str,
+                      engine: str = "stacked", complex_mult: str = "block",
+                      first_dot: str = "default") -> int:
+    """Resident bytes of one kernel's stage tables, without materializing.
+
+    Mirrors stage_table_arrays / planar_stage_tables entry-for-entry so
+    plan_works_on_device can budget the twiddle-fold tables alongside the
+    data planes (round-4 verdict: the grouped (64,256) float32 fold table
+    is ~67 MiB ALONE and must be rejected before compilation instead of
+    relying on a Mosaic VMEM-exhaustion failure).  Matmul tables are bf16
+    only under the plain 'bf16' algorithm (split-compensated policies keep
+    fp32 originals); VPU twiddle planes are always fp32.
+    """
+    d_bytes = 2 if algorithm == "bf16" else 4
+    total = 0
+    if engine in ("planar", "planar_vpu"):
+        fold = engine == "planar"
+        k = 1
+        for r in radices:
+            stage_fold = fold and k > 1 and k <= _MAX_KLOOP
+            db = 4 if (k == 1 and first_dot != "default") else d_bytes
+            total += (k if stage_fold else 1) * 2 * r * r * db
+            if k > 1 and not stage_fold:
+                total += 2 * r * k * 4  # fp32 (R, K) twiddle planes
+            k *= r
+        return total
+    for kind, radix, k, p in _stage_kinds(radices, grouped):
+        if kind == "grouped":
+            if _grouped_mult3(kind, radix, p, complex_mult):
+                total += k * 3 * radix * radix * d_bytes
+            else:
+                total += (k // p) * (2 * p * radix) ** 2 * d_bytes
+            continue
+        db = 4 if (kind == "first" and first_dot != "default") else d_bytes
+        total += (2 * radix) ** 2 * db
+        if kind != "first":
+            total += 2 * radix * k * 4  # fp32 (R, K) twiddle planes
+    return total
+
+
 def _grouped_mult3(kind: str, radix: int, p: int, complex_mult: str) -> bool:
     """Whether a grouped stage runs as three real matmuls (Gauss trick).
 

@@ -9,6 +9,7 @@ whose entries are ``tuning`` dicts consumed by
 from __future__ import annotations
 
 import json
+import math
 import os
 from pathlib import Path
 from typing import Optional
@@ -16,6 +17,19 @@ from typing import Optional
 __all__ = ["TunerCache", "default_cache_path"]
 
 _VERSION = 1
+
+
+def _finite(entry: Optional[dict]) -> bool:
+    """An entry is servable only if its measurement metadata is finite.
+
+    A poisoned sweep (every config failed) must never crown a production
+    plan: round-4 shipped exactly that — an n=16384 float32 entry with
+    time_us=Infinity whose config was known to fail compilation.
+    """
+    if entry is None:
+        return False
+    t = entry.get("time_us")
+    return t is None or (isinstance(t, (int, float)) and math.isfinite(t))
 
 
 def default_cache_path() -> Path:
@@ -59,8 +73,12 @@ class TunerCache:
             entry = self._entries.get(
                 _key(fft_length, precision, platform, batch)
             )
+            if not _finite(entry):
+                entry = None
         if entry is None:
             entry = self._entries.get(_key(fft_length, precision, platform))
+            if not _finite(entry):
+                entry = None
         if entry is None:
             return None
         tuning = dict(entry)
@@ -86,15 +104,32 @@ class TunerCache:
         """Persist a winner.
 
         With ``batch``, the entry is stored under the exact-batch key AND
-        promoted to the batch-blind key when it was tuned at a batch at least
-        as large as the blind incumbent's (the blind entry represents the
-        production/headline scale, not the smallest sweep).
+        promoted to the batch-blind key when it was tuned at a batch larger
+        than the blind incumbent's (the blind entry represents the
+        production/headline scale, not the smallest sweep).  An EQUAL-batch
+        retune promotes only when it is not measurably slower (round-4
+        verdict item 9: a worse equal-batch re-measurement must not demote a
+        faster blind incumbent).  Non-finite measurements are rejected
+        outright — a poisoned sweep may never enter the cache.
         """
+        if not _finite(entry):
+            raise ValueError(
+                f"refusing to cache a non-finite tuner winner for "
+                f"n={fft_length}, precision={precision}: {entry!r}"
+            )
         if batch is not None:
             entry = dict(entry, batch=int(batch))
             self._entries[_key(fft_length, precision, platform, batch)] = entry
             blind = self._entries.get(_key(fft_length, precision, platform))
-            if blind is None or int(blind.get("batch", 0)) <= int(batch):
+            blind_batch = -1 if blind is None else int(blind.get("batch", 0))
+            promote = blind_batch < int(batch) or (
+                blind_batch == int(batch)
+                and float(entry.get("time_us", math.inf))
+                <= float(blind.get("time_us", math.inf))
+            )
+            if not _finite(blind):
+                promote = True
+            if promote:
                 self._entries[_key(fft_length, precision, platform)] = entry
         else:
             self._entries[_key(fft_length, precision, platform)] = entry
@@ -120,9 +155,12 @@ class TunerCache:
     def save(self):
         self.dedupe()
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        # allow_nan=False: bare Infinity/NaN is not RFC 8259 JSON (jq/JS
+        # reject the whole file) — fail fast here instead of committing a
+        # cache no other tool can parse.
         self.path.write_text(
             json.dumps({"version": _VERSION, "entries": self._entries}, indent=1,
-                       sort_keys=True)
+                       sort_keys=True, allow_nan=False)
         )
 
     def __len__(self):

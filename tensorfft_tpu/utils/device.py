@@ -19,6 +19,7 @@ __all__ = [
     "fft_roofline_seconds",
     "overlap_estimate",
     "KERNEL_VMEM_LIMIT_BYTES",
+    "TABLE_HEADROOM_BYTES",
 ]
 
 # Scoped-VMEM limit every Pallas kernel in this library passes to
@@ -31,6 +32,17 @@ __all__ = [
 # at 120 MiB (548 us, beats the four-step incumbent) — tables, scratch and
 # double-buffering inflate the true footprint ~3x over the data planes.
 KERNEL_VMEM_LIMIT_BYTES = 120 * 1024 * 1024
+
+# Headroom the TOTAL per-kernel footprint (data working set PLUS resident
+# stage tables, ops/fused_pallas.stage_table_bytes) gets over the data-plane
+# budget ``vmem_bytes``: total <= vmem_bytes + headroom.  Calibrated on v5e
+# (64 MiB data budget) at the 120 MiB scoped cap, round-4 measurements: the
+# committed N=16384 (64,256)+grouped headline kernel — 33.5 MiB f32 state
+# planes + 33.5 MiB bf16 fold tables = 67 MiB — compiles and runs; its
+# float32-policy twin (33.5 MiB state + 67 MiB f32 fold tables = 100.5 MiB)
+# is rejected by the Mosaic allocator.  64 + 16 = 80 MiB sits between the
+# measured pass and fail points.
+TABLE_HEADROOM_BYTES = 16 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)

