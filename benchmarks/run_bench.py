@@ -25,6 +25,8 @@ def main():
                          "median (cross-window drift reaches tens of percent "
                          "on the shared relay — single windows are not "
                          "decision-grade)")
+    ap.add_argument("--out", default="results/BenchResults.dat",
+                    help="output table path (BenchResults.dat format)")
     ap.add_argument("--baseline", default=None, choices=["staged", "xla"],
                     help="bench a BASELINE strategy instead of the tuned "
                          "library path (the reference benches its baseline, "
