@@ -158,8 +158,10 @@ fi
 
 # ---------------------------------------------------------------- C6
 stage_begin "C6 conformance tail 2^26..2^28, one seed per process"
-for n in 67108864 134217728 268435456; do
-  for seed in 0 1 2 3 4 5 6 7 8 9; do
+# Seed-outer so a deadline cut leaves partial coverage at EVERY length
+# (seed 0 at all three lengths beats 10 seeds of 2^26 alone).
+for seed in 0 1 2 3 4 5 6 7 8 9; do
+  for n in 67108864 134217728 268435456; do
     tag="c6_${n}_seed$seed"
     stage_begin "C6 n=$n seed=$seed"
     retry "$tag" 2700 python benchmarks/run_conformance.py \
