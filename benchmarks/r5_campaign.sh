@@ -109,6 +109,15 @@ retry "cfa_acc" 2400 python benchmarks/run_accuracy.py \
     --start 4096 --end 16384 --precision float32 --tuning auto \
     --out results/accuracy_f32_auto_tpu.dat
 
+# ---------------------------------------------------------------- CF2
+# The f32@16384 winner was crowned from a single deployable four-step
+# config; challenge its split/knob twins before shipping it.
+stage_begin "CF2 float32 16384 four-step knob challengers"
+retry "cf2_16384" 2700 python benchmarks/run_tuner.py \
+    --start 16384 --end 16384 --batch 4096 --precision float32 \
+    --challenge-only --extras-only \
+    --extra-configs '[{"strategy":"four_step","four_step_split":[64,256]},{"strategy":"four_step","four_step_split":[256,64]},{"strategy":"four_step","four_step_split":[128,128],"grouped":true},{"strategy":"four_step","four_step_split":[128,128],"k1_tile":256}]'
+
 # ---------------------------------------------------------------- C8
 stage_begin "C8 batch-occupancy probe 16384/b1024"
 retry "c8_b1024" 3000 python benchmarks/run_tuner.py \

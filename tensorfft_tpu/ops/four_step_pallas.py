@@ -279,7 +279,7 @@ def _row_kernel_gridslice(refs, scratch, radices, algorithm, n2, k1_tile, bt,
     static_argnames=(
         "n1", "n2", "radices1", "radices2", "scales1", "scales2", "sign",
         "lane_tile", "algorithm", "interpret", "grouped", "state_dtype",
-        "complex_mult", "first_dot", "engine", "k1_tile",
+        "complex_mult", "first_dot", "engine", "k1_tile", "passes",
     ),
 )
 def four_step_fft(
@@ -302,11 +302,17 @@ def four_step_fft(
     first_dot: str = "default",
     engine: str = "stacked",
     k1_tile: int = 128,
+    passes: str = "both",
 ):
     """Large-N FFT on batch-major (B, N) planes, N = n1*n2.
 
     Returns (B, N) planes in natural frequency order, storage dtype = input
     dtype.
+
+    ``passes`` is a measurement-only knob for per-pass floor attribution
+    (benchmarks/exp_four_step_floor.py): "k1" returns after the column pass,
+    "k2" skips it (feeding the raw input as the intermediate — numerically
+    wrong, dataflow/time identical).  Production always runs "both".
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -384,7 +390,11 @@ def four_step_fft(
                            engine, first_dot=first_dot,
                            complex_mult=complex_mult)
 
-    if use_gs1:
+    if passes == "k2":
+        # Floor-attribution: skip the column pass; the raw input stands in
+        # as the intermediate (identical shapes/dataflow, garbage values).
+        mid_re, mid_im = re3, im3
+    elif use_gs1:
         re4 = re3.reshape(b, r_last1, s1_total, n2)
         im4 = im3.reshape(b, r_last1, s1_total, n2)
         data_spec1g = pl.BlockSpec(
@@ -467,6 +477,11 @@ def four_step_fft(
                 vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES,
             ),
         )(re3, im3, p_tab, q_tab, *tables1)
+
+    if passes == "k1":
+        # Floor-attribution: column pass alone (contiguous reshape, no
+        # relayout — mid is already (b, n1, n2) in both engine branches).
+        return mid_re.reshape(b, n), mid_im.reshape(b, n)
 
     # Pass K2.
     tables2 = _pass_tables(radices2, scales2, sign, algorithm, grouped,

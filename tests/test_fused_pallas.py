@@ -666,3 +666,33 @@ def test_grouped_mult3_matches_grouped_block_and_oracle():
     o_re, o_im = tfft.fft_split(re, im, plan)
     got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_four_step_passes_knob_composes():
+    # The per-pass floor-attribution knob (benchmarks/exp_four_step_floor.py):
+    # passes="k1" returns the column pass's intermediate and passes="k2"
+    # consumes its input as that intermediate, so k2(k1(x)) must be
+    # BIT-identical to the production passes="both" — across both engine
+    # branches (stacked and deferred-interleave gridslice).
+    import jax.numpy as jnp
+
+    import tensorfft_tpu as tfft
+    from tensorfft_tpu.fft import four_step_call_kwargs
+    from tensorfft_tpu.ops.four_step_pallas import four_step_fft
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    re = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+    for tuning in (
+        {"four_step_split": (64, 64)},
+        {"four_step_split": (64, 64), "engine": "gridslice", "grouped": True},
+    ):
+        plan = tfft.create_plan(n, precision="float32",
+                                strategy="four_step", tuning=tuning)
+        kw = four_step_call_kwargs(plan, True)
+        full = four_step_fft(re, im, **kw)
+        comp = four_step_fft(
+            *four_step_fft(re, im, **kw, passes="k1"), **kw, passes="k2")
+        assert jnp.abs(comp[0] - full[0]).max() == 0, tuning
+        assert jnp.abs(comp[1] - full[1]).max() == 0, tuning
