@@ -46,10 +46,36 @@ def _key(
     return base if batch is None else f"{base},batch={batch}"
 
 
+def _promote_over(entry: dict, blind: Optional[dict]) -> bool:
+    """Should a batch-keyed ``entry`` replace the batch-blind ``blind``?
+
+    Promote when tuned at a LARGER batch (the blind entry represents the
+    production/headline scale, not the smallest sweep), or at an EQUAL batch
+    when not measurably slower (round-4 verdict item 9: a worse equal-batch
+    re-measurement must not demote a faster blind incumbent).  A missing or
+    non-finite blind is always replaced.
+    """
+    if not _finite(blind):
+        return True
+    blind_batch = int(blind.get("batch", 0))
+    batch = int(entry.get("batch", 0))
+    return blind_batch < batch or (
+        blind_batch == batch
+        and float(entry.get("time_us", math.inf))
+        <= float(blind.get("time_us", math.inf))
+    )
+
+
 class TunerCache:
     def __init__(self, path: Optional[os.PathLike] = None):
         self.path = Path(path) if path is not None else default_cache_path()
         self._entries: dict = {}
+        # Keys THIS process wrote via put().  save() persists only these on
+        # top of a fresh re-read of the file, so a long-running tuner process
+        # can no longer clobber entries that other processes landed after it
+        # loaded its snapshot (round-5 incident: a stale driver's save()
+        # reverted two freshly retuned blind winners).
+        self._dirty: set = set()
         if self.path.exists():
             data = json.loads(self.path.read_text())
             if data.get("version") == _VERSION:
@@ -119,20 +145,18 @@ class TunerCache:
             )
         if batch is not None:
             entry = dict(entry, batch=int(batch))
-            self._entries[_key(fft_length, precision, platform, batch)] = entry
+            k = _key(fft_length, precision, platform, batch)
+            self._entries[k] = entry
+            self._dirty.add(k)
             blind = self._entries.get(_key(fft_length, precision, platform))
-            blind_batch = -1 if blind is None else int(blind.get("batch", 0))
-            promote = blind_batch < int(batch) or (
-                blind_batch == int(batch)
-                and float(entry.get("time_us", math.inf))
-                <= float(blind.get("time_us", math.inf))
-            )
-            if not _finite(blind):
-                promote = True
-            if promote:
-                self._entries[_key(fft_length, precision, platform)] = entry
+            if _promote_over(entry, blind):
+                k = _key(fft_length, precision, platform)
+                self._entries[k] = entry
+                self._dirty.add(k)
         else:
-            self._entries[_key(fft_length, precision, platform)] = entry
+            k = _key(fft_length, precision, platform)
+            self._entries[k] = entry
+            self._dirty.add(k)
 
     def dedupe(self) -> int:
         """Drop batch-suffixed entries identical to their blind twin.
@@ -153,15 +177,40 @@ class TunerCache:
         return len(drop)
 
     def save(self):
+        # Merge-on-save: persist THIS process's winners on top of a fresh
+        # re-read of the file, never the whole stale in-memory snapshot.
+        # Exact-batch dirty keys overwrite (ours is the newer measurement of
+        # the same key); a dirty BLIND key re-applies the promotion test
+        # against whatever is on disk NOW, so a concurrent process's faster
+        # or larger-batch blind winner survives our save.
+        if self.path.exists():
+            try:
+                data = json.loads(self.path.read_text())
+                disk = (data.get("entries", {})
+                        if data.get("version") == _VERSION else {})
+            except (OSError, ValueError):
+                disk = {}
+            merged = dict(disk)
+            for k in self._dirty:
+                if k not in self._entries:
+                    continue
+                if (",batch=" in k                      # exact-batch key
+                        or "batch" not in self._entries[k]  # deliberate blind
+                        or _promote_over(self._entries[k], disk.get(k))):
+                    merged[k] = self._entries[k]
+            self._entries = merged
         self.dedupe()
         self.path.parent.mkdir(parents=True, exist_ok=True)
         # allow_nan=False: bare Infinity/NaN is not RFC 8259 JSON (jq/JS
         # reject the whole file) — fail fast here instead of committing a
-        # cache no other tool can parse.
-        self.path.write_text(
+        # cache no other tool can parse.  Atomic replace: a reader never
+        # sees a half-written file.
+        tmp = self.path.with_suffix(".json.tmp")
+        tmp.write_text(
             json.dumps({"version": _VERSION, "entries": self._entries}, indent=1,
                        sort_keys=True, allow_nan=False)
         )
+        os.replace(tmp, self.path)
 
     def __len__(self):
         return len(self._entries)

@@ -536,3 +536,61 @@ def test_committed_cache_deduped():
     # The committed production cache satisfies the same invariant.
     c = TunerCache()
     assert c.dedupe() == 0
+
+
+def test_cache_save_merges_concurrent_writers(tmp_path):
+    # Round-5 incident: a stale long-running tuner process's save() wrote
+    # its whole in-memory snapshot, reverting blind winners that OTHER
+    # processes had landed after it loaded.  save() must persist only the
+    # keys THIS process put(), merged over a fresh re-read of the file.
+    path = tmp_path / "cache.json"
+    a = TunerCache(path)
+    a.put(4096, "bfloat16", "tpu",
+          {"strategy": "fused", "radices": [64, 64], "time_us": 500.0},
+          batch=4096)
+    a.save()
+
+    # Two processes load the same snapshot; B lands a faster 8192 winner
+    # and a faster 4096 blind first.
+    b = TunerCache(path)
+    c = TunerCache(path)
+    b.put(8192, "bfloat16", "tpu",
+          {"strategy": "fused", "radices": [64, 128], "time_us": 600.0},
+          batch=4096)
+    b.put(4096, "bfloat16", "tpu",
+          {"strategy": "fused", "radices": [32, 128], "time_us": 400.0},
+          batch=4096)
+    b.save()
+
+    # C (stale snapshot: still holds the 500us 4096 entry) saves a 16384
+    # winner afterwards.  B's two winners must survive C's save.
+    c.put(16384, "bfloat16", "tpu",
+          {"strategy": "fused", "radices": [64, 256], "time_us": 700.0},
+          batch=4096)
+    c.save()
+
+    final = TunerCache(path)
+    assert final.get(16384, "bfloat16", "tpu")["radices"] == (64, 256)
+    assert final.get(8192, "bfloat16", "tpu")["radices"] == (64, 128)
+    assert final.get(4096, "bfloat16", "tpu")["radices"] == (32, 128)
+
+    # And an equal-batch SLOWER dirty blind still cannot demote a faster
+    # blind landed on disk meanwhile (promotion re-tested against disk).
+    d = TunerCache(path)
+    e = TunerCache(path)
+    d.put(4096, "bfloat16", "tpu",
+          {"strategy": "fused", "radices": [16, 256], "time_us": 350.0},
+          batch=4096)
+    d.save()
+    e.put(4096, "bfloat16", "tpu",
+          {"strategy": "fused", "radices": [64, 64], "time_us": 380.0},
+          batch=4096)
+    e.save()
+    final = TunerCache(path)
+    assert final.get(4096, "bfloat16", "tpu")["radices"] == (16, 256)
+    # The slower equal-batch result is still recorded under its exact key.
+    import json
+
+    assert json.loads(path.read_text())["entries"][
+        "n=4096,precision=bfloat16,platform=tpu,batch=4096"
+    ]["time_us"] == 380.0
